@@ -1,0 +1,95 @@
+"""jwave_tpu — TPU-native wavelet transform engine.
+
+A from-scratch JAX/XLA/Pallas framework with the full capability set of the
+reference library Prophetizo/JWave (pure-Java): FWT/WPT over 1D/2D/3D
+arrays, FFT-accelerated MODWT on arbitrary lengths, complex CWT scalograms
+(Morlet/Mexican Hat/Paul/DOG/Meyer), DFT/FFT, ancient-Egyptian
+decomposition, shifting transform, and coefficient compression — backed by
+67 precomputed filter banks and designed TPU-first: batched level-unrolled
+convolution kernels, trace-time-constant filters, and device-mesh sharding
+(see jwave_tpu.parallel).
+"""
+
+__version__ = "0.1.0"
+
+from . import config
+from .api import (
+    AncientEgyptianDecomposition,
+    BasicTransform,
+    ContinuousWaveletTransform,
+    DiscreteFourierTransform,
+    FastFourierTransform,
+    FastWaveletTransform,
+    MODWTTransform,
+    ShiftingWaveletTransform,
+    Transform,
+    TransformBuilder,
+    WaveletPacketTransform,
+    WaveletTransform,
+)
+from .compress import Compressor, CompressorMagnitude, CompressorPeaksAverage
+from .cwavelets import (
+    DOGWavelet,
+    MexicanHatWavelet,
+    MeyerWavelet,
+    MorletWavelet,
+    PaulWavelet,
+    get_continuous_wavelet,
+)
+from .exceptions import (
+    JWaveError,
+    JWaveException,
+    JWaveFailure,
+    JWaveNotAllocated,
+    JWaveNotFound,
+    JWaveNotImplemented,
+    JWaveNotKnown,
+    JWaveNotValid,
+)
+from .filters import FilterBank, available_filters, get_filter, junit_passing_filters
+from .transforms import (
+    CWTResult,
+    ConvolutionMethod,
+    PaddingType,
+    aed_forward,
+    aed_reverse,
+    cwt,
+    cwt_direct,
+    fft,
+    fwt,
+    fwt_decompose,
+    fwt_max_level,
+    fwt_recompose,
+    generate_linear_scales,
+    generate_log_scales,
+    ifft,
+    ifwt,
+    imodwt,
+    imodwt_1d,
+    iwpt,
+    modwt,
+    modwt_1d,
+    shifting_forward,
+    shifting_reverse,
+    wpt,
+)
+
+__all__ = [
+    "config",
+    "Transform", "TransformBuilder", "BasicTransform", "WaveletTransform",
+    "FastWaveletTransform", "WaveletPacketTransform", "ShiftingWaveletTransform",
+    "MODWTTransform", "DiscreteFourierTransform", "FastFourierTransform",
+    "AncientEgyptianDecomposition", "ContinuousWaveletTransform",
+    "Compressor", "CompressorMagnitude", "CompressorPeaksAverage",
+    "MorletWavelet", "MexicanHatWavelet", "PaulWavelet", "DOGWavelet",
+    "MeyerWavelet", "get_continuous_wavelet",
+    "FilterBank", "get_filter", "available_filters", "junit_passing_filters",
+    "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose",
+    "wpt", "iwpt", "modwt", "imodwt", "modwt_1d", "imodwt_1d",
+    "ConvolutionMethod", "cwt", "cwt_direct", "CWTResult", "PaddingType",
+    "generate_log_scales", "generate_linear_scales",
+    "fft", "ifft", "aed_forward", "aed_reverse",
+    "shifting_forward", "shifting_reverse",
+    "JWaveException", "JWaveError", "JWaveFailure", "JWaveNotAllocated",
+    "JWaveNotFound", "JWaveNotImplemented", "JWaveNotKnown", "JWaveNotValid",
+]

@@ -1,0 +1,28 @@
+"""Precision and platform policy.
+
+The reference computes in Java ``double`` everywhere. On TPU the native
+matmul/conv path is float32/bfloat16; float64 runs (for bit-level validation
+against the reference's PyWavelets-derived golden vectors) use the CPU
+backend or x64 emulation. Correctness gates in tests/ run in float64 on CPU;
+throughput benchmarks run float32 on TPU — see SURVEY.md §7 "Hard parts".
+"""
+from __future__ import annotations
+
+import jax
+
+
+def enable_x64(enabled: bool = True):
+    """Enable float64 semantics process-wide (call before tracing)."""
+    jax.config.update("jax_enable_x64", enabled)
+
+
+def default_real_dtype():
+    import jax.numpy as jnp
+
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def default_complex_dtype():
+    import jax.numpy as jnp
+
+    return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64

@@ -1,0 +1,25 @@
+"""Transform algorithms (functional, jittable core).
+
+Each transform is a pure function ``f(signal, wavelet/params, level) ->
+coeffs`` over the last axis (or last 2/3 axes for separable nD), batched
+over all leading axes. Class facades live in :mod:`jwave_tpu.api`.
+"""
+from .fwt import fwt, ifwt, fwt_max_level, fwt_decompose, fwt_recompose
+from .wpt import wpt, iwpt
+from .modwt import modwt, imodwt, modwt_1d, imodwt_1d, ConvolutionMethod
+from .cwt import cwt, cwt_direct, CWTResult, generate_log_scales, generate_linear_scales, PaddingType
+from .fft import fft, ifft, dft, idft, fft_interleaved, ifft_interleaved
+from .aed import aed_forward, aed_reverse
+from .shifting import shifting_forward, shifting_reverse
+from .ndim import forward_2d, reverse_2d, forward_3d, reverse_3d, forward_complex, reverse_complex
+
+__all__ = [
+    "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose",
+    "wpt", "iwpt",
+    "modwt", "imodwt", "modwt_1d", "imodwt_1d", "ConvolutionMethod",
+    "cwt", "cwt_direct", "CWTResult", "generate_log_scales", "generate_linear_scales", "PaddingType",
+    "fft", "ifft", "dft", "idft", "fft_interleaved", "ifft_interleaved",
+    "aed_forward", "aed_reverse",
+    "shifting_forward", "shifting_reverse",
+    "forward_2d", "reverse_2d", "forward_3d", "reverse_3d", "forward_complex", "reverse_complex",
+]

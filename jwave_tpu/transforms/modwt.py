@@ -1,0 +1,210 @@
+"""MODWT — Maximal Overlap Discrete Wavelet Transform (the flagship).
+
+Reference: jwave/transforms/MODWTTransform.java (913 LoC). Shift-invariant,
+no-downsampling transform on arbitrary-length signals:
+
+  * base filters = unit-L2-normalized analysis filters scaled by 1/sqrt(2)
+    (MODWTTransform.java:469-475)
+  * level-j filters = base upsampled with 2^(j-1)-1 zeros between taps
+    (:618-630), wrapped modulo N when longer than the signal (:729-741)
+  * forward:  W_j = h_j (*) V_{j-1},  V_j = g_j (*) V_{j-1}   (:256-306)
+  * inverse:  V_{j-1} = g_j (*)^T V_j + h_j (*)^T W_j          (:337-375)
+  * convolution method AUTO selects FFT iff N*M > threshold (4096 default,
+    :144, :640-664)
+
+TPU design: all per-level filters (or their rfft spectra) are computed
+host-side at trace time and folded into the program as constants — the
+reference's ConcurrentHashMap filter cache and double-checked locking
+(:452-593) have no equivalent because there is nothing left to cache. The
+two per-level convolutions share one signal FFT and one batched inverse FFT.
+Output layout: (..., J+1, N) rows [W_1 .. W_J, V_J].
+"""
+from __future__ import annotations
+
+from enum import Enum
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..exceptions import JWaveFailure
+from ..filters import get_filter
+from ..ops.circular import (
+    circular_conv,
+    circular_conv_adjoint,
+    wrap_filter,
+)
+from ..utils.numerics import exponent_of_two, is_power_of_two
+
+#: maximum supported decomposition level (MODWTTransform.java:111)
+MAX_DECOMPOSITION_LEVEL = 13
+
+#: AUTO method threshold on N*M (MODWTTransform.java:144)
+DEFAULT_FFT_THRESHOLD = 4096
+
+
+class ConvolutionMethod(Enum):
+    """MODWTTransform.ConvolutionMethod (MODWTTransform.java:149-153)."""
+
+    AUTO = "auto"
+    DIRECT = "direct"
+    FFT = "fft"
+
+
+def _modwt_base_filters(wavelet):
+    """Unit-L2-normalized analysis filters scaled by 1/sqrt(2) (:469-475)."""
+    fb = get_filter(wavelet)
+    g = np.asarray(fb.dec_lo, dtype=np.float64).copy()
+    h = np.asarray(fb.dec_hi, dtype=np.float64).copy()
+    for f in (g, h):
+        nrm = np.sqrt(np.sum(f * f))
+        if nrm > 1e-12:
+            f /= nrm
+    return g / np.sqrt(2.0), h / np.sqrt(2.0)
+
+
+def _upsample(f: np.ndarray, level: int) -> np.ndarray:
+    """Insert 2^(j-1)-1 zeros between taps (:618-630)."""
+    if level <= 1:
+        return f
+    gap = (1 << (level - 1)) - 1
+    out = np.zeros(f.shape[0] + (f.shape[0] - 1) * gap, dtype=np.float64)
+    out[:: gap + 1] = f
+    return out
+
+
+def _level_filters(wavelet, level: int, n: int):
+    """Per-level wrapped filters [(g_j, h_j)] as host constants."""
+    g0, h0 = _modwt_base_filters(wavelet)
+    return [
+        (wrap_filter(_upsample(g0, j), n), wrap_filter(_upsample(h0, j), n))
+        for j in range(1, level + 1)
+    ]
+
+
+def _use_fft(method: ConvolutionMethod, n: int, m: int, threshold: int) -> bool:
+    if method is ConvolutionMethod.FFT:
+        return True
+    if method is ConvolutionMethod.DIRECT:
+        return False
+    return n * m > threshold
+
+
+def _spec(f: np.ndarray, n: int) -> np.ndarray:
+    fp = np.pad(f, (0, n - f.shape[0])) if f.shape[0] < n else f
+    return np.fft.rfft(fp)
+
+
+def _validate_level(n: int, level: int, who: str):
+    if level < 1:
+        raise JWaveFailure(f"{who} - decomposition level must be at least 1, got {level}")
+    if level > MAX_DECOMPOSITION_LEVEL:
+        raise JWaveFailure(
+            f"{who} - maximum supported decomposition level is {MAX_DECOMPOSITION_LEVEL}, got {level}"
+        )
+    theoretical = n.bit_length() - 1 if n > 0 else 0
+    if level > theoretical:
+        raise JWaveFailure(
+            f"{who} - level {level} exceeds theoretical limit {theoretical} for signal length {n}"
+        )
+
+
+def modwt(
+    x,
+    wavelet,
+    level: int,
+    method: ConvolutionMethod = ConvolutionMethod.AUTO,
+    fft_threshold: int = DEFAULT_FFT_THRESHOLD,
+):
+    """Forward MODWT along the last axis (arbitrary length), batched.
+
+    Returns (..., level+1, N): rows [W_1, ..., W_J, V_J]
+    (MODWTTransform.java:256-306).
+    """
+    n = x.shape[-1]
+    _validate_level(n, level, "modwt")
+    filters = _level_filters(wavelet, level, n)
+
+    rows = []
+    v = x
+    # one shared rfft per level; both filters applied in a single batched irfft
+    for j, (gj, hj) in enumerate(filters, start=1):
+        if _use_fft(method, n, _upsample_len(wavelet, j), fft_threshold):
+            spec = jnp.fft.rfft(v, axis=-1)
+            fil = jnp.asarray(np.stack([_spec(hj, n), _spec(gj, n)]))
+            wv = jnp.fft.irfft(spec[..., None, :] * fil, n=n, axis=-1).astype(x.dtype)
+            w, v = wv[..., 0, :], wv[..., 1, :]
+        else:
+            w = circular_conv(v, hj)
+            v = circular_conv(v, gj)
+        rows.append(w)
+    rows.append(v)
+    return jnp.stack(rows, axis=-2)
+
+
+def _upsample_len(wavelet, j: int) -> int:
+    m = get_filter(wavelet).length
+    return m + (m - 1) * ((1 << (j - 1)) - 1)
+
+
+def imodwt(
+    coeffs,
+    wavelet,
+    method: ConvolutionMethod = ConvolutionMethod.AUTO,
+    fft_threshold: int = DEFAULT_FFT_THRESHOLD,
+):
+    """Inverse MODWT from a (..., J+1, N) stack (MODWTTransform.java:337-375)."""
+    level = coeffs.shape[-2] - 1
+    n = coeffs.shape[-1]
+    if level < 1:
+        raise JWaveFailure("imodwt - need at least level 1 (2 rows)")
+    filters = _level_filters(wavelet, level, n)
+
+    v = coeffs[..., level, :]
+    for j in range(level, 0, -1):
+        gj, hj = filters[j - 1]
+        w = coeffs[..., j - 1, :]
+        if _use_fft(method, n, _upsample_len(wavelet, j), fft_threshold):
+            fil = jnp.asarray(np.stack([np.conj(_spec(gj, n)), np.conj(_spec(hj, n))]))
+            spec = jnp.stack([jnp.fft.rfft(v, axis=-1), jnp.fft.rfft(w, axis=-1)], axis=-2)
+            vv = jnp.fft.irfft(spec * fil, n=n, axis=-1).astype(coeffs.dtype)
+            v = vv[..., 0, :] + vv[..., 1, :]
+        else:
+            v = circular_conv_adjoint(v, gj) + circular_conv_adjoint(w, hj)
+    return v
+
+
+def modwt_1d(x, wavelet, level: int | None = None, **kw):
+    """Flattened 1D facade: (..., N) -> (..., (J+1)*N), power-of-two N
+    (MODWTTransform.java:388-417, :853-878)."""
+    n = x.shape[-1]
+    if not is_power_of_two(n):
+        raise JWaveFailure("modwt_1d - given last-axis length is not 2^p")
+    max_level = exponent_of_two(n)
+    if level is None:
+        level = max_level
+    if level < 0 or level > max_level:
+        raise JWaveFailure("modwt_1d - given level is out of range for given array")
+    c = modwt(x, wavelet, level, **kw)
+    return c.reshape(c.shape[:-2] + ((level + 1) * n,))
+
+
+def imodwt_1d(flat, wavelet, level: int | None = None, **kw):
+    """Inverse of :func:`modwt_1d`; infers (N, J) like the reference when
+    ``level`` is omitted (MODWTTransform.java:880-912)."""
+    total = flat.shape[-1]
+    if level is None:
+        n = 0
+        for test_n in range(1, total + 1):
+            if total % test_n == 0:
+                test_levels = total // test_n - 1
+                if test_levels >= 0 and is_power_of_two(test_n) and test_levels <= exponent_of_two(test_n):
+                    n, level = test_n, test_levels
+                    break
+        if n == 0:
+            raise JWaveFailure("imodwt_1d - cannot determine original signal dimensions")
+    else:
+        n = total // (level + 1)
+        if not is_power_of_two(n) or total != n * (level + 1):
+            raise JWaveFailure("imodwt_1d - invalid coefficient array for given level")
+    coeffs = flat.reshape(flat.shape[:-1] + (level + 1, n))
+    return imodwt(coeffs, wavelet, **kw)

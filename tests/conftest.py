@@ -1,0 +1,29 @@
+"""Test configuration: float64 correctness gates on a virtual 8-device CPU mesh.
+
+The reference's correctness claims are Java-double claims; we validate in
+float64 on the CPU backend (SURVEY.md §7 "Hard parts"). The 8 virtual
+devices let mesh/sharding logic run without TPU hardware (SURVEY.md §4).
+
+NOTE: this environment pins JAX_PLATFORMS=axon (a tunneled TPU) via
+sitecustomize, so we must override BOTH the env var and the jax config
+before jax initializes.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

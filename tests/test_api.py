@@ -1,0 +1,119 @@
+"""Facade + builder + compressor tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import jwave_tpu as jw
+
+
+def test_builder_reference_trio():
+    """The three names the reference builder knows (TransformBuilder.java:40-94)."""
+    for name, cls in [
+        ("Fast Wavelet Transform", jw.FastWaveletTransform),
+        ("Wavelet Packet Transform", jw.WaveletPacketTransform),
+        ("Discrete Fourier Transform", jw.DiscreteFourierTransform),
+    ]:
+        t = jw.TransformBuilder.create(name, "Haar")
+        assert isinstance(t.get_basic_transform(), cls)
+        assert jw.TransformBuilder.identify(t) == name
+
+
+def test_builder_extended_registry():
+    """All transforms registered — unlike the reference's stale builder."""
+    for name, wav in [
+        ("Fast Fourier Transform", "Haar"),
+        ("MODWT", "Haar"),
+        ("Maximal Overlap Discrete Wavelet Transform", "db4"),
+        ("Continuous Wavelet Transform", "morlet"),
+        ("Shifting Wavelet Transform", "Haar"),
+        ("Ancient Egyptian Decomposition Wavelet Packet Transform", "Haar"),
+    ]:
+        assert jw.TransformBuilder.create(name, wav) is not None
+
+
+def test_builder_unknown_raises():
+    with pytest.raises(jw.JWaveNotKnown):
+        jw.TransformBuilder.create("Nope Transform")
+    with pytest.raises(jw.JWaveNotKnown):
+        jw.TransformBuilder.create("Fast Wavelet Transform", "Nope Wavelet")
+
+
+def test_facade_accessors():
+    t = jw.TransformBuilder.create("Fast Wavelet Transform", "db4")
+    assert t.get_wavelet().name == "Daubechies 4"
+    assert t.get_basic_transform().name == "Fast Wavelet Transform"
+
+
+def test_cli_demo_path(rng):
+    """The JWave.main demo flow (JWave.java:62-123): constant length-16."""
+    t = jw.TransformBuilder.create("Fast Wavelet Transform", "Haar")
+    x = np.ones(16)
+    y = np.asarray(t.forward(x))
+    assert y[0] == pytest.approx(4.0, abs=1e-12)  # sqrt(16)*1
+    np.testing.assert_allclose(y[1:], 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(t.reverse(y)), x, atol=1e-10)
+
+
+def test_modwt_facade_flat(rng):
+    t = jw.TransformBuilder.create("MODWT", "db2")
+    x = rng.standard_normal(64)
+    flat = t.forward(x, 3)
+    assert np.asarray(flat).shape == (256,)
+    np.testing.assert_allclose(np.asarray(t.reverse(flat, 3)), x, atol=1e-8)
+    basic = t.get_basic_transform()
+    stack = basic.forward_modwt(jnp.asarray(x), 3)
+    np.testing.assert_allclose(np.asarray(basic.inverse_modwt(stack)), x, atol=1e-8)
+
+
+def test_compressor_magnitude(rng):
+    c = jw.CompressorMagnitude(1.0)
+    arr = jnp.asarray([1.0, -0.1, 5.0, 0.05, -3.0])
+    out = np.asarray(c.compress(arr))
+    mag = np.mean(np.abs(np.asarray(arr)))
+    want = np.where(np.abs(np.asarray(arr)) >= mag, np.asarray(arr), 0.0)
+    np.testing.assert_allclose(out, want, atol=0)
+    rate = float(jw.Compressor.compression_rate(jnp.asarray(out)))
+    assert rate == pytest.approx(100.0 * np.mean(want == 0.0))
+
+
+def test_compressor_peaks_average():
+    c = jw.CompressorPeaksAverage(1.0)
+    arr = jnp.asarray([4.0, -1.0, 0.5, 2.5])
+    out = np.asarray(c.compress(arr))
+    # magnitude = max/2 = 2.0 (reference peak-min stays 0)
+    np.testing.assert_allclose(out, [4.0, 0.0, 0.0, 2.5], atol=0)
+
+
+def test_compressor_invalid_threshold():
+    with pytest.raises(jw.JWaveFailure):
+        jw.Compressor(0.0)
+
+
+def test_compressor_2d_3d(rng):
+    c = jw.CompressorMagnitude()
+    m = rng.standard_normal((8, 8))
+    out = np.asarray(c.compress(jnp.asarray(m)))
+    mag = np.mean(np.abs(m))
+    np.testing.assert_allclose(out, np.where(np.abs(m) >= mag, m, 0.0), atol=0)
+    v = rng.standard_normal((4, 4, 4))
+    out = np.asarray(c.compress(jnp.asarray(v)))
+    mag = np.mean(np.abs(v))
+    np.testing.assert_allclose(out, np.where(np.abs(v) >= mag, v, 0.0), atol=0)
+
+
+def test_compress_transform_pipeline(rng):
+    """CompressorTest.java flow: transform -> compress -> reverse."""
+    t = jw.TransformBuilder.create("Fast Wavelet Transform", "db2")
+    x = np.sin(2 * np.pi * np.arange(64) / 64)
+    y = t.forward(x)
+    yc = jw.CompressorMagnitude(1.0).compress(y)
+    xr = np.asarray(t.reverse(yc))
+    assert np.mean((xr - x) ** 2) < 0.1  # lossy but close
+
+
+def test_exception_hierarchy():
+    assert issubclass(jw.JWaveFailure, jw.JWaveException)
+    assert issubclass(jw.JWaveError, jw.JWaveException)
+    for e in (jw.JWaveNotAllocated, jw.JWaveNotFound, jw.JWaveNotImplemented,
+              jw.JWaveNotKnown, jw.JWaveNotValid):
+        assert issubclass(e, jw.JWaveFailure)

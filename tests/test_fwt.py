@@ -1,0 +1,106 @@
+"""FWT correctness: round-trips across the wavelet zoo, oracle parity,
+energy conservation, level-bounded transforms, batching."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import jwave_tpu as jw
+from jwave_tpu.filters import get_filter, junit_passing_filters
+
+import oracle
+
+
+DELTA = 1e-6  # the reference JUnit tolerance (GeneralTest.java:36-70)
+
+
+@pytest.mark.parametrize("fb", junit_passing_filters(), ids=lambda f: f.name)
+def test_roundtrip_all_wavelets(fb, rng):
+    """GeneralTest.testExample across create2arr() — constant and random."""
+    for sig in (np.ones(64), rng.standard_normal(64)):
+        y = jw.fwt(jnp.asarray(sig), fb.name)
+        xr = np.asarray(jw.ifwt(y, fb.name))
+        np.testing.assert_allclose(xr, sig, atol=DELTA)
+
+
+def test_roundtrip_haar_orthogonal(rng):
+    x = rng.standard_normal(128)
+    xr = np.asarray(jw.ifwt(jw.fwt(jnp.asarray(x), "Haar orthogonal"), "Haar orthogonal"))
+    np.testing.assert_allclose(xr, x, atol=1e-10)
+
+
+@pytest.mark.parametrize("name", ["Haar", "Daubechies 4", "Symlet 8", "BiOrthogonal 3/5"])
+def test_matches_oracle(name, rng):
+    fb = get_filter(name)
+    x = rng.standard_normal(64)
+    for level in (1, 2, 6):
+        got = np.asarray(jw.fwt(jnp.asarray(x), name, level))
+        want = oracle.fwt(x, fb, level)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+        back = np.asarray(jw.ifwt(jnp.asarray(want), name, level))
+        np.testing.assert_allclose(back, oracle.ifwt(want, fb, level), atol=1e-12)
+
+
+def test_level_bounded(rng):
+    """Level-1 FWT: approx half = butterfly only once."""
+    x = rng.standard_normal(32)
+    y1 = np.asarray(jw.fwt(jnp.asarray(x), "db4", 1))
+    want = oracle.butterfly_forward(x, get_filter("db4").dec_lo, get_filter("db4").dec_hi)
+    np.testing.assert_allclose(y1, want, atol=1e-12)
+
+
+def test_energy_conservation_orthonormal(rng):
+    """Parseval for orthonormal banks (PropertyBasedTest.java:47-205)."""
+    x = rng.standard_normal(256)
+    for name in ["Haar", "Daubechies 8", "Symlet 12", "Coiflet 5"]:
+        y = np.asarray(jw.fwt(jnp.asarray(x), name))
+        assert np.sum(y**2) == pytest.approx(np.sum(x**2), rel=1e-6)
+
+
+def test_constant_signal_haar():
+    """Haar on a constant: all details zero, energy in the approx."""
+    n = 64
+    x = np.full(n, 3.0)
+    y = np.asarray(jw.fwt(jnp.asarray(x), "Haar"))
+    np.testing.assert_allclose(y[1:], 0.0, atol=1e-12)
+    assert y[0] == pytest.approx(3.0 * np.sqrt(n), rel=1e-12)
+
+
+def test_batched_matches_single(rng):
+    xs = rng.standard_normal((5, 7, 128))
+    batched = np.asarray(jw.fwt(jnp.asarray(xs), "db4"))
+    for i in range(5):
+        for j in range(7):
+            single = np.asarray(jw.fwt(jnp.asarray(xs[i, j]), "db4"))
+            np.testing.assert_allclose(batched[i, j], single, atol=1e-12)
+
+
+def test_random_lengths_roundtrip(rng):
+    """Perfect reconstruction over lengths 8..128 (PropertyBasedTest)."""
+    for p in range(3, 8):
+        n = 1 << p
+        x = rng.standard_normal(n)
+        xr = np.asarray(jw.ifwt(jw.fwt(jnp.asarray(x), "sym4"), "sym4"))
+        np.testing.assert_allclose(xr, x, atol=DELTA)
+
+
+def test_non_pow2_raises():
+    with pytest.raises(jw.JWaveFailure):
+        jw.fwt(jnp.zeros(100), "Haar")
+
+
+def test_bad_level_raises():
+    with pytest.raises(jw.JWaveFailure):
+        jw.fwt(jnp.zeros(64), "Haar", 7)
+
+
+def test_decompose_recompose(rng):
+    x = rng.standard_normal(256)
+    mat = np.asarray(jw.fwt_decompose(jnp.asarray(x), "db2"))
+    assert mat.shape == (9, 256)
+    np.testing.assert_allclose(mat[0], x, atol=0)
+    # each row l equals forward at level l; reconstruction from each row works
+    for l in range(9):
+        np.testing.assert_allclose(mat[l], np.asarray(jw.fwt(jnp.asarray(x), "db2", l)), atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(jw.fwt_recompose(jnp.asarray(mat), "db2", l)), x, atol=1e-9
+        )

@@ -1,0 +1,109 @@
+"""MODWT correctness: oracle parity, FFT==direct, perfect reconstruction on
+arbitrary lengths, level limits, flattened 1D interface."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import jwave_tpu as jw
+from jwave_tpu.filters import get_filter
+from jwave_tpu.transforms.modwt import MAX_DECOMPOSITION_LEVEL
+
+import oracle
+
+
+@pytest.mark.parametrize("name", ["Haar", "Daubechies 4", "Daubechies 8"])
+def test_matches_oracle(name, rng):
+    fb = get_filter(name)
+    x = rng.standard_normal(37)  # arbitrary length
+    for level in (1, 3):
+        got = np.asarray(jw.modwt(jnp.asarray(x), name, level, method=jw.ConvolutionMethod.DIRECT))
+        np.testing.assert_allclose(got, oracle.modwt(x, fb, level), atol=1e-12)
+
+
+def test_fft_equals_direct(rng):
+    """The AUTO threshold decision must not change values
+    (MODWTFFTAdjointVerificationTest analog)."""
+    x = rng.standard_normal(100)
+    for name in ["Haar", "db4", "db20"]:
+        d = np.asarray(jw.modwt(jnp.asarray(x), name, 4, method=jw.ConvolutionMethod.DIRECT))
+        f = np.asarray(jw.modwt(jnp.asarray(x), name, 4, method=jw.ConvolutionMethod.FFT))
+        np.testing.assert_allclose(d, f, atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [32, 100, 333, 1024])
+@pytest.mark.parametrize("name", ["Haar", "db4"])
+def test_perfect_reconstruction(n, name, rng):
+    x = rng.standard_normal(n)
+    level = min(5, n.bit_length() - 1)
+    c = jw.modwt(jnp.asarray(x), name, level)
+    xr = np.asarray(jw.imodwt(c, name))
+    np.testing.assert_allclose(xr, x, atol=1e-8)
+
+
+def test_inverse_adjoint_consistency(rng):
+    """inverse uses adjoint convolution; FFT and direct inverses agree."""
+    x = rng.standard_normal(64)
+    c = jw.modwt(jnp.asarray(x), "db4", 3)
+    xa = np.asarray(jw.imodwt(c, "db4", method=jw.ConvolutionMethod.DIRECT))
+    xb = np.asarray(jw.imodwt(c, "db4", method=jw.ConvolutionMethod.FFT))
+    np.testing.assert_allclose(xa, xb, atol=1e-10)
+
+
+def test_shift_invariance(rng):
+    """MODWT of a circularly shifted signal == circularly shifted MODWT."""
+    x = rng.standard_normal(64)
+    c = np.asarray(jw.modwt(jnp.asarray(x), "db4", 3))
+    cs = np.asarray(jw.modwt(jnp.asarray(np.roll(x, 5)), "db4", 3))
+    np.testing.assert_allclose(np.roll(c, 5, axis=-1), cs, atol=1e-10)
+
+
+def test_level_limits():
+    with pytest.raises(jw.JWaveFailure):
+        jw.modwt(jnp.zeros(64), "Haar", 0)
+    with pytest.raises(jw.JWaveFailure):
+        jw.modwt(jnp.zeros(64), "Haar", 7)  # > log2(64)
+    with pytest.raises(jw.JWaveFailure):
+        jw.modwt(jnp.zeros(1 << 20), "Haar", MAX_DECOMPOSITION_LEVEL + 1)
+    # exactly at the theoretical limit is fine
+    jw.modwt(jnp.ones(64), "Haar", 6)
+
+
+def test_energy_preservation(rng):
+    """MODWT is an isometry for orthonormal banks: sum of coefficient
+    energies equals signal energy (Percival & Walden eq. 171)."""
+    x = rng.standard_normal(128)
+    c = np.asarray(jw.modwt(jnp.asarray(x), "db4", 4))
+    assert np.sum(c**2) == pytest.approx(np.sum(x**2), rel=1e-8)
+
+
+def test_flat_1d_interface(rng):
+    """MODWT1DInterfaceTest analog: flatten layout [W_1..W_J, V_J]."""
+    x = rng.standard_normal(64)
+    flat = np.asarray(jw.modwt_1d(jnp.asarray(x), "db2", 3))
+    assert flat.shape == (4 * 64,)
+    stack = np.asarray(jw.modwt(jnp.asarray(x), "db2", 3))
+    np.testing.assert_allclose(flat.reshape(4, 64), stack, atol=0)
+    # reverse with explicit level and with inference
+    np.testing.assert_allclose(np.asarray(jw.imodwt_1d(jnp.asarray(flat), "db2", 3)), x, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(jw.imodwt_1d(jnp.asarray(flat), "db2")), x, atol=1e-8)
+
+
+def test_batched(rng):
+    xs = rng.standard_normal((6, 50))
+    batched = np.asarray(jw.modwt(jnp.asarray(xs), "db4", 3))
+    assert batched.shape == (6, 4, 50)
+    for i in range(6):
+        np.testing.assert_allclose(
+            batched[i], np.asarray(jw.modwt(jnp.asarray(xs[i]), "db4", 3)), atol=1e-12
+        )
+
+
+def test_denoising_pattern(rng):
+    """The documented use: zero a detail level, reconstruct
+    (MODWTTransform.java inverseMODWT example)."""
+    x = rng.standard_normal(128)
+    c = np.array(jw.modwt(jnp.asarray(x), "db4", 4))
+    c[0] = 0.0
+    den = np.asarray(jw.imodwt(jnp.asarray(c), "db4"))
+    assert den.shape == x.shape
+    assert not np.allclose(den, x)
