@@ -1,0 +1,75 @@
+"""Console entry point: ``python -m jwave_tpu [transform] [wavelet]``.
+
+Mirrors the reference CLI demo (jwave/JWave.java:62-123): transform a
+constant length-16 array, print the time-domain input, the coefficient
+("Hilbert") domain, and the reconstruction. Adds ``bench`` and ``list``
+subcommands the reference lacks.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _demo(transform_name: str, wavelet_name: str) -> int:
+    from .api import TransformBuilder
+
+    t = TransformBuilder.create(transform_name, wavelet_name)
+    x = np.ones(16)
+    print(f"{transform_name} ({wavelet_name})")
+    print("time domain:   ", np.array2string(x, precision=3))
+    y = np.asarray(t.forward(x))
+    print("hilbert domain:", np.array2string(y, precision=3, suppress_small=True))
+    xr = np.asarray(t.reverse(t.forward(x)))
+    print("reconstruction:", np.array2string(xr, precision=3, suppress_small=True))
+    err = float(np.max(np.abs(xr - x)))
+    print(f"max |error| = {err:.2e}")
+    return 0 if err < 1e-5 else 1
+
+
+def _list() -> int:
+    from .api import TransformBuilder
+    from .filters import available_filters, get_filter
+
+    print("transforms:")
+    for name in sorted(TransformBuilder._NAMES):
+        print(f"  {name}")
+    print("  ancient egyptian decomposition <inner transform>")
+    print("\nwavelets:")
+    for name in available_filters():
+        fb = get_filter(name)
+        flags = "" if fb.junit_passing else "  [no perfect reconstruction in reference tests]"
+        print(f"  {name:<22} ({fb.length:>2} taps){flags}")
+    print("\ncontinuous wavelets: Morlet, Mexican Hat, Paul, DOG, Meyer")
+    return 0
+
+
+def _bench() -> int:
+    import runpy
+    import pathlib
+
+    bench = pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    if bench.exists():
+        runpy.run_path(str(bench), run_name="__main__")
+        return 0
+    print("bench.py not found", file=sys.stderr)
+    return 1
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="jwave_tpu", description=__doc__)
+    p.add_argument("transform", nargs="?", default="Fast Wavelet Transform",
+                   help='e.g. "Fast Wavelet Transform", "MODWT", "list", "bench"')
+    p.add_argument("wavelet", nargs="?", default="Haar", help='e.g. "Haar", "db4", "sym8"')
+    args = p.parse_args(argv)
+    if args.transform == "list":
+        return _list()
+    if args.transform == "bench":
+        return _bench()
+    return _demo(args.transform, args.wavelet)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

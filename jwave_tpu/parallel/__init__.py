@@ -1,0 +1,38 @@
+"""Multi-chip sharding layer (device mesh + SPMD transforms).
+
+The reference has no distributed execution — its whole parallelism
+inventory is intra-process ForkJoinPool fan-out (SURVEY.md §2.6). This
+package is the new first-class layer the TPU build adds: a `jax.sharding`
+Mesh over ICI/DCN with
+
+  * scale-sharded CWT (embarrassingly parallel scales axis),
+  * batch sharding for many-signal workloads,
+  * 2D/3D separable FWT/WPT with an all_to_all distributed transpose
+    (rows local -> transpose -> columns local), and
+  * time-sharded MODWT with ppermute halo exchange of filter-support
+    boundary samples (compact-support analog of ring attention).
+"""
+from .mesh import make_mesh, initialize_distributed
+from .sharded import (
+    batch_sharded,
+    cwt_scale_sharded,
+    fwt2d_sharded,
+    ifwt2d_sharded,
+    modwt_halo_sharded,
+    imodwt_halo_sharded,
+    wpt2d_sharded,
+    iwpt2d_sharded,
+)
+
+__all__ = [
+    "make_mesh",
+    "initialize_distributed",
+    "batch_sharded",
+    "cwt_scale_sharded",
+    "fwt2d_sharded",
+    "ifwt2d_sharded",
+    "wpt2d_sharded",
+    "iwpt2d_sharded",
+    "modwt_halo_sharded",
+    "imodwt_halo_sharded",
+]

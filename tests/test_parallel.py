@@ -1,0 +1,119 @@
+"""Sharded transforms on the virtual 8-device CPU mesh: every sharded path
+must match its single-device counterpart exactly (the multi-device analog of
+the reference's parallel==sequential assertions,
+ParallelWPTPerformanceTest.java:87-95)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import jwave_tpu as jw
+from jwave_tpu.parallel import (
+    batch_sharded,
+    cwt_scale_sharded,
+    fwt2d_sharded,
+    ifwt2d_sharded,
+    imodwt_halo_sharded,
+    make_mesh,
+    modwt_halo_sharded,
+    wpt2d_sharded,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+    return make_mesh((8,), ("shard",))
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.shape["shard"] == 8
+
+
+def test_batch_sharded_wpt(mesh, rng):
+    xs = rng.standard_normal((16, 256))
+    f = batch_sharded(lambda b: jw.wpt(b, "db4", 4), mesh)
+    got = np.asarray(f(jnp.asarray(xs)))
+    want = np.asarray(jw.wpt(jnp.asarray(xs), "db4", 4))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_cwt_scale_sharded_matches_single(mesh, rng):
+    sig = rng.standard_normal(512)
+    scales = jw.generate_log_scales(0.5, 32.0, 16)  # 16 scales over 8 devices
+    res_s = cwt_scale_sharded(jnp.asarray(sig), scales, "morlet", mesh, 5.0)
+    res_1 = jw.cwt(jnp.asarray(sig), scales, "morlet", 5.0)
+    np.testing.assert_allclose(
+        np.asarray(res_s.coefficients), np.asarray(res_1.coefficients), atol=1e-10
+    )
+
+
+def test_cwt_scale_sharded_batched(mesh, rng):
+    sigs = rng.standard_normal((3, 256))
+    scales = jw.generate_linear_scales(1.0, 8.0, 8)
+    res_s = cwt_scale_sharded(jnp.asarray(sigs), scales, "mexican hat", mesh)
+    res_1 = jw.cwt(jnp.asarray(sigs), scales, "mexican hat")
+    np.testing.assert_allclose(
+        np.asarray(res_s.coefficients), np.asarray(res_1.coefficients), atol=1e-10
+    )
+
+
+def test_cwt_scale_sharded_uneven_raises(mesh):
+    with pytest.raises(jw.JWaveFailure):
+        cwt_scale_sharded(jnp.zeros(64), [1.0, 2.0, 3.0], "morlet", mesh)
+
+
+def test_fwt2d_sharded_matches_single(mesh, rng):
+    mat = rng.standard_normal((64, 128))
+    got = np.asarray(fwt2d_sharded(jnp.asarray(mat), "db2", mesh))
+    t = jw.TransformBuilder.create("Fast Wavelet Transform", "db2")
+    want = np.asarray(t.forward(mat))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_fwt2d_sharded_roundtrip(mesh, rng):
+    mat = rng.standard_normal((64, 64))
+    y = fwt2d_sharded(jnp.asarray(mat), "sym4", mesh)
+    back = np.asarray(ifwt2d_sharded(y, "sym4", mesh))
+    np.testing.assert_allclose(back, mat, atol=1e-8)
+
+
+def test_fwt2d_sharded_levels(mesh, rng):
+    mat = rng.standard_normal((32, 64))
+    got = np.asarray(fwt2d_sharded(jnp.asarray(mat), "Haar", mesh, level_rows=2, level_cols=3))
+    t = jw.TransformBuilder.create("Fast Wavelet Transform", "Haar")
+    want = np.asarray(t.forward(mat, 2, 3))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_wpt2d_sharded_matches_single(mesh, rng):
+    mat = rng.standard_normal((64, 64))
+    got = np.asarray(wpt2d_sharded(jnp.asarray(mat), "db2", mesh))
+    t = jw.TransformBuilder.create("Wavelet Packet Transform", "db2")
+    want = np.asarray(t.forward(mat))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_2d_sharded_uneven_raises(mesh):
+    with pytest.raises(jw.JWaveFailure):
+        fwt2d_sharded(jnp.zeros((30, 64)), "Haar", mesh)
+
+
+def test_modwt_halo_sharded_matches_single(mesh, rng):
+    x = rng.standard_normal(1024)
+    got = np.asarray(modwt_halo_sharded(jnp.asarray(x), "db4", 3, mesh))
+    want = np.asarray(jw.modwt(jnp.asarray(x), "db4", 3))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_modwt_halo_sharded_roundtrip(mesh, rng):
+    x = rng.standard_normal(512)
+    c = modwt_halo_sharded(jnp.asarray(x), "Haar", 2, mesh)
+    back = np.asarray(imodwt_halo_sharded(c, "Haar", mesh))
+    np.testing.assert_allclose(back, x, atol=1e-8)
+
+
+def test_modwt_halo_level_too_deep_raises(mesh):
+    # db20 at level 5 has support 40*16 >> 64/8 local samples
+    with pytest.raises(jw.JWaveFailure):
+        modwt_halo_sharded(jnp.zeros(64), "db20", 5, mesh)
