@@ -28,6 +28,29 @@ from .api import (
     WaveletTransform,
 )
 from .compress import Compressor, CompressorMagnitude, CompressorPeaksAverage
+from .datatypes import (
+    Block,
+    BlockFull,
+    BlockHash,
+    Line,
+    LineFull,
+    LineHash,
+    Space,
+    SpaceFull,
+    SpaceHash,
+    complex_to_interleaved,
+    interleaved_to_complex,
+)
+from .variants import (
+    EfficientMODWTTransform,
+    InPlaceFastWaveletTransform,
+    ParallelDiscreteFourierTransform,
+    ParallelTransform,
+    ParallelWaveletPacketTransform,
+    PooledFastFourierTransform,
+    PooledMODWTTransform,
+    PooledWaveletPacketTransform,
+)
 from .cwavelets import (
     DOGWavelet,
     MexicanHatWavelet,
@@ -90,6 +113,11 @@ __all__ = [
     "generate_log_scales", "generate_linear_scales",
     "fft", "ifft", "aed_forward", "aed_reverse",
     "shifting_forward", "shifting_reverse",
+    "Line", "LineFull", "LineHash", "Block", "BlockFull", "BlockHash",
+    "Space", "SpaceFull", "SpaceHash", "complex_to_interleaved", "interleaved_to_complex",
+    "InPlaceFastWaveletTransform", "PooledWaveletPacketTransform",
+    "PooledFastFourierTransform", "PooledMODWTTransform", "EfficientMODWTTransform",
+    "ParallelWaveletPacketTransform", "ParallelDiscreteFourierTransform", "ParallelTransform",
     "JWaveException", "JWaveError", "JWaveFailure", "JWaveNotAllocated",
     "JWaveNotFound", "JWaveNotImplemented", "JWaveNotKnown", "JWaveNotValid",
 ]

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..exceptions import JWaveFailure
 from ..filters import get_filter
+from ..ops.butterfly import ensure_float
 from ..ops.circular import (
     circular_conv,
     circular_conv_adjoint,
@@ -94,6 +95,30 @@ def _spec(f: np.ndarray, n: int) -> np.ndarray:
     return np.fft.rfft(fp)
 
 
+def _cascade_spectra(wavelet, level: int, n: int) -> np.ndarray:
+    """(J+1, n//2+1) complex128: frequency response of every output row.
+
+    The per-level recursion V_j = g_j (*) V_{j-1}, W_j = h_j (*) V_{j-1}
+    telescopes in the frequency domain to
+
+        W_j_hat = H_j * prod_{i<j} G_i,      V_J_hat = prod_{i<=J} G_i,
+
+    so the whole forward MODWT is ONE rfft of the signal and ONE batched
+    irfft against these host-precomputed responses — J x fewer FFTs than
+    the reference's level-sequential FFT path (MODWTTransform.java:752-786)
+    with identical linear-operator semantics. The inverse telescopes the
+    same way with conjugated responses.
+    """
+    filters = _level_filters(wavelet, level, n)
+    out = np.empty((level + 1, n // 2 + 1), dtype=np.complex128)
+    g_acc = np.ones(n // 2 + 1, dtype=np.complex128)
+    for j, (gj, hj) in enumerate(filters):
+        out[j] = _spec(hj, n) * g_acc
+        g_acc = g_acc * _spec(gj, n)
+    out[level] = g_acc
+    return out
+
+
 def _validate_level(n: int, level: int, who: str):
     if level < 1:
         raise JWaveFailure(f"{who} - decomposition level must be at least 1, got {level}")
@@ -122,20 +147,23 @@ def modwt(
     """
     n = x.shape[-1]
     _validate_level(n, level, "modwt")
-    filters = _level_filters(wavelet, level, n)
 
+    # FFT path: single-pass telescoped cascade (see _cascade_spectra) —
+    # decided per whole transform from the deepest level's N*M product,
+    # mirroring the reference's AUTO rule (MODWTTransform.java:640-664)
+    if _use_fft(method, n, _upsample_len(wavelet, level), fft_threshold):
+        x = ensure_float(x)
+        cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
+        fil = jnp.asarray(_cascade_spectra(wavelet, level, n), dtype=cdtype)  # (J+1, nf)
+        spec = jnp.fft.rfft(x, axis=-1)
+        return jnp.fft.irfft(spec[..., None, :] * fil, n=n, axis=-1).astype(x.dtype)
+
+    filters = _level_filters(wavelet, level, n)
     rows = []
     v = x
-    # one shared rfft per level; both filters applied in a single batched irfft
-    for j, (gj, hj) in enumerate(filters, start=1):
-        if _use_fft(method, n, _upsample_len(wavelet, j), fft_threshold):
-            spec = jnp.fft.rfft(v, axis=-1)
-            fil = jnp.asarray(np.stack([_spec(hj, n), _spec(gj, n)]))
-            wv = jnp.fft.irfft(spec[..., None, :] * fil, n=n, axis=-1).astype(x.dtype)
-            w, v = wv[..., 0, :], wv[..., 1, :]
-        else:
-            w = circular_conv(v, hj)
-            v = circular_conv(v, gj)
+    for gj, hj in filters:
+        w = circular_conv(v, hj)
+        v = circular_conv(v, gj)
         rows.append(w)
     rows.append(v)
     return jnp.stack(rows, axis=-2)
@@ -157,19 +185,23 @@ def imodwt(
     n = coeffs.shape[-1]
     if level < 1:
         raise JWaveFailure("imodwt - need at least level 1 (2 rows)")
-    filters = _level_filters(wavelet, level, n)
 
+    # FFT path: telescoped adjoint — one batched rfft over the (J+1) rows,
+    # conjugate-weighted sum, one irfft
+    if _use_fft(method, n, _upsample_len(wavelet, level), fft_threshold):
+        coeffs = ensure_float(coeffs)
+        cdtype = jnp.complex128 if coeffs.dtype == jnp.float64 else jnp.complex64
+        fil = jnp.asarray(np.conj(_cascade_spectra(wavelet, level, n)), dtype=cdtype)
+        spec = jnp.fft.rfft(coeffs, axis=-1)  # (..., J+1, nf)
+        v_hat = jnp.sum(spec * fil, axis=-2)
+        return jnp.fft.irfft(v_hat, n=n, axis=-1).astype(coeffs.dtype)
+
+    filters = _level_filters(wavelet, level, n)
     v = coeffs[..., level, :]
     for j in range(level, 0, -1):
         gj, hj = filters[j - 1]
         w = coeffs[..., j - 1, :]
-        if _use_fft(method, n, _upsample_len(wavelet, j), fft_threshold):
-            fil = jnp.asarray(np.stack([np.conj(_spec(gj, n)), np.conj(_spec(hj, n))]))
-            spec = jnp.stack([jnp.fft.rfft(v, axis=-1), jnp.fft.rfft(w, axis=-1)], axis=-2)
-            vv = jnp.fft.irfft(spec * fil, n=n, axis=-1).astype(coeffs.dtype)
-            v = vv[..., 0, :] + vv[..., 1, :]
-        else:
-            v = circular_conv_adjoint(v, gj) + circular_conv_adjoint(w, hj)
+        v = circular_conv_adjoint(v, gj) + circular_conv_adjoint(w, hj)
     return v
 
 
