@@ -83,9 +83,11 @@ def main():
     batch, n = 64, 65536
     x = jax.device_put(jnp.asarray(rng.standard_normal((batch, n)), dtype=jnp.float32))
     # sum over the level axis so every level's coefficients are live (no DCE)
-    dt = bench_op(lambda a: jw.modwt(a, "Daubechies 4", 5, method=jw.ConvolutionMethod.FFT).sum(axis=-2), x)
+    dt = bench_op(lambda a: jw.modwt(a, "Daubechies 4", 5).sum(axis=-2), x)  # AUTO -> Pallas on TPU
     modwt_msps = batch * n / dt / 1e6
     details["modwt_db4_L5"] = {"batch": batch, "n": n, "ms": dt * 1e3, "Msamples_per_s": round(modwt_msps, 1)}
+    dt_fft = bench_op(lambda a: jw.modwt(a, "Daubechies 4", 5, method=jw.ConvolutionMethod.FFT).sum(axis=-2), x)
+    details["modwt_db4_L5_fft"] = {"ms": dt_fft * 1e3, "Msamples_per_s": round(batch * n / dt_fft / 1e6, 1)}
 
     # --- 2D FWT on 2048x2048 (config #4 single-chip) ----------------------
     from jwave_tpu.transforms.fwt import fwt

@@ -26,3 +26,27 @@ def default_complex_dtype():
     import jax.numpy as jnp
 
     return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+
+
+_CONV_PRECISION = "highest"
+
+
+def set_conv_precision(name: str):
+    """Matmul/conv precision on TPU MXUs: 'highest' (true float32 via 6-pass
+    bf16 — the default; perfect-reconstruction claims hold), 'high' (3-pass
+    bf16, ~1e-4 error, ~2x faster), or 'default' (single-pass bf16, ~1e-2
+    error, fastest). CPU is unaffected (always exact float32/float64)."""
+    global _CONV_PRECISION
+    if name not in ("default", "high", "highest"):
+        raise ValueError(f"unknown precision {name!r}")
+    _CONV_PRECISION = name
+
+
+def conv_precision():
+    import jax.lax as lax
+
+    return {
+        "default": lax.Precision.DEFAULT,
+        "high": lax.Precision.HIGH,
+        "highest": lax.Precision.HIGHEST,
+    }[_CONV_PRECISION]

@@ -24,6 +24,8 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
+from .. import config as _config
+
 
 def ensure_float(x):
     """Promote integer/bool inputs to the default float dtype (the filter
@@ -76,6 +78,7 @@ def butterfly_forward(x, dec_lo: np.ndarray, dec_hi: np.ndarray):
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=dtype,
+        precision=_config.conv_precision(),
     )  # (B, 2, half)
     out = out[:, :, :half]
     merged = jnp.concatenate([out[:, 0, :], out[:, 1, :]], axis=-1)
@@ -120,6 +123,7 @@ def butterfly_reverse(y, rec_lo: np.ndarray, rec_hi: np.ndarray, recon_gain: flo
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=dtype,
+        precision=_config.conv_precision(),
     )  # (B, 1, h)
     res = out[:, 0, :h].reshape(lead + (h,))
     if recon_gain != 1.0:

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .butterfly import ensure_float
+from .. import config as _config
 
 
 def wrap_filter(f: np.ndarray, n: int) -> np.ndarray:
@@ -41,6 +42,7 @@ def _conv_valid(flat, kernel, dtype):
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=dtype,
+        precision=_config.conv_precision(),
     )
     return out[:, 0, :]
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .butterfly import ensure_float
+from .. import config as _config
 
 
 def _upsample_k(f: np.ndarray, k: int) -> np.ndarray:
@@ -77,6 +78,7 @@ def wpt_fused_forward(x, dec_lo, dec_hi, levels: int):
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=x.dtype,
+        precision=_config.conv_precision(),
     )  # (B, 2^L, N/2^L)
     return out.reshape(lead + (n,))
 
@@ -103,6 +105,7 @@ def wpt_fused_inverse(y, rec_lo, rec_hi, levels: int, recon_gain: float = 1.0):
         lhs_dilation=(stride,),
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=y.dtype,
+        precision=_config.conv_precision(),
     )  # (B, 1, dilated_len + pad*2 - m + 1) ; dilated_len = (h-1)*stride+1
     full = dil[:, 0, :]  # the full linear convolution (u (*) F), length n - stride + m
     # circular result: x[k] = sum_{q == k mod n} full[q]

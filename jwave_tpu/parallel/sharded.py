@@ -28,6 +28,7 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
+from .. import config as _config
 from ..exceptions import JWaveFailure
 from ..cwavelets import get_continuous_wavelet
 from ..transforms.cwt import CWTResult, PaddingType, _omega_axis, pad_signal
@@ -209,6 +210,7 @@ def _conv_valid_1d(x, kernel):
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=x.dtype,
+        precision=_config.conv_precision(),
     )
     return out[0, 0, :]
 

@@ -44,11 +44,13 @@ DEFAULT_FFT_THRESHOLD = 4096
 
 
 class ConvolutionMethod(Enum):
-    """MODWTTransform.ConvolutionMethod (MODWTTransform.java:149-153)."""
+    """MODWTTransform.ConvolutionMethod (MODWTTransform.java:149-153), plus
+    the TPU-native PALLAS variant (fused VMEM-resident roll/FMA cascade)."""
 
     AUTO = "auto"
     DIRECT = "direct"
     FFT = "fft"
+    PALLAS = "pallas"
 
 
 def _modwt_base_filters(wavelet):
@@ -88,6 +90,23 @@ def _use_fft(method: ConvolutionMethod, n: int, m: int, threshold: int) -> bool:
     if method is ConvolutionMethod.DIRECT:
         return False
     return n * m > threshold
+
+
+def _pallas_applicable(x, level: int) -> bool:
+    """The Pallas cascade runs on TPU-like backends for f32/bf16 blocks that
+    fit VMEM (~10 MB working set per row block)."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return False
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    n = x.shape[-1]
+    if n % 128 != 0:  # DMA row slices must stay lane-tile aligned
+        return False
+    from ..ops.pallas_modwt import vmem_bytes_needed
+
+    return vmem_bytes_needed(n, level, x.dtype.itemsize) <= 40 * 2**20
 
 
 def _spec(f: np.ndarray, n: int) -> np.ndarray:
@@ -148,6 +167,17 @@ def modwt(
     n = x.shape[-1]
     _validate_level(n, level, "modwt")
 
+    x = ensure_float(x)
+    # TPU-native path: fused VMEM-resident roll/FMA cascade (Pallas)
+    if method is ConvolutionMethod.PALLAS or (
+        method is ConvolutionMethod.AUTO and _pallas_applicable(x, level)
+    ):
+        from ..ops.pallas_modwt import modwt_pallas
+
+        lead = x.shape[:-1]
+        flat = x.reshape((-1, n))
+        return modwt_pallas(flat, wavelet, level).reshape(lead + (level + 1, n))
+
     # FFT path: single-pass telescoped cascade (see _cascade_spectra) —
     # decided per whole transform from the deepest level's N*M product,
     # mirroring the reference's AUTO rule (MODWTTransform.java:640-664)
@@ -185,6 +215,16 @@ def imodwt(
     n = coeffs.shape[-1]
     if level < 1:
         raise JWaveFailure("imodwt - need at least level 1 (2 rows)")
+
+    coeffs = ensure_float(coeffs)
+    if method is ConvolutionMethod.PALLAS or (
+        method is ConvolutionMethod.AUTO and _pallas_applicable(coeffs, level)
+    ):
+        from ..ops.pallas_modwt import imodwt_pallas
+
+        lead = coeffs.shape[:-2]
+        flat = coeffs.reshape((-1, level + 1, n))
+        return imodwt_pallas(flat, wavelet).reshape(lead + (n,))
 
     # FFT path: telescoped adjoint — one batched rfft over the (J+1) rows,
     # conjugate-weighted sum, one irfft
