@@ -97,6 +97,19 @@ def main():
     dt2 = bench_op(lambda m: forward_2d(lambda v, level: fwt(v, "Daubechies 4", level), m, 6, 6), img)
     details["fwt2d_db4_L6_2048"] = {"ms": dt2 * 1e3, "Mpix_per_s": round(2048 * 2048 / dt2 / 1e6, 1)}
 
+    # --- 1D FWT multi-level (BASELINE config #2: 64K samples, 8 levels) ---
+    dt1 = bench_op(lambda a: fwt(a, "Daubechies 4", 8), x)
+    details["fwt1d_db4_L8"] = {"ms": dt1 * 1e3, "Msamples_per_s": round(batch * n / dt1 / 1e6, 1)}
+
+    # --- 3D FWT on a 256^3 volume (config #4) -----------------------------
+    from jwave_tpu.transforms.ndim import forward_3d
+
+    vol = jax.device_put(jnp.asarray(rng.standard_normal((256, 256, 256)), dtype=jnp.float32))
+    dt3d = bench_op(
+        lambda v: forward_3d(lambda a, level: fwt(a, "Daubechies 4", level), v, 4, 4, 4), vol, k=32
+    )
+    details["fwt3d_db4_L4_256"] = {"ms": dt3d * 1e3, "Mvox_per_s": round(256**3 / dt3d / 1e6, 1)}
+
     # --- WPT 6-level ------------------------------------------------------
     dt3 = bench_op(lambda a: jw.wpt(a, "Daubechies 4", 6), x)
     details["wpt_db4_L6"] = {"ms": dt3 * 1e3, "Msamples_per_s": round(batch * n / dt3 / 1e6, 1)}

@@ -16,8 +16,6 @@ ICI ops, not host transfers):
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,6 @@ from .api import (
 )
 from .exceptions import JWaveFailure
 from .transforms.fwt import fwt, ifwt
-from .transforms.modwt import modwt, imodwt
 
 
 class InPlaceFastWaveletTransform(FastWaveletTransform):
