@@ -113,6 +113,30 @@ class WaveletTransform(BasicTransform):
     def get_wavelet(self) -> FilterBank:
         return self.wavelet
 
+    def decompose(self, x):
+        """Generic all-level decomposition matrix: row l = forward at level l
+        (WaveletTransform.java:136-146). Subclasses may override with a
+        pyramid-reusing version."""
+        from .utils.numerics import exponent_of_two
+
+        x = jnp.asarray(x)
+        steps = exponent_of_two(x.shape[-1])
+
+        def build(a):
+            rows = [a] + [self._forward_core(a, l) for l in range(1, steps + 1)]
+            return jnp.stack(rows, axis=-2)
+
+        return self._jitted(("gdec",), build)(x)
+
+    def recompose(self, mat, level=None):
+        """Reconstruct from one decomposition row (highest by default)."""
+        mat = jnp.asarray(mat)
+        if level is None:
+            level = mat.shape[-2] - 1
+        return self._jitted(("grec", level), partial(
+            lambda m, lvl: self._reverse_core(m[..., lvl, :], lvl), lvl=level
+        ))(mat)
+
 
 class FastWaveletTransform(WaveletTransform):
     """FWT facade (FastWaveletTransform.java)."""
@@ -197,6 +221,15 @@ class MODWTTransform(WaveletTransform):
         self.method = method
         self._jit_cache.clear()
 
+    def decompose(self, x):
+        """MODWT rows have per-level flattened lengths (ragged in the
+        reference's Java arrays); use :meth:`forward_modwt` for the
+        rectangular (J+1, N) stack instead."""
+        raise JWaveFailure(
+            "MODWTTransform.decompose - use forward_modwt(x, level) for the "
+            "(level+1, N) coefficient stack"
+        )
+
 
 class DiscreteFourierTransform(BasicTransform):
     """Naive O(N^2) DFT on the interleaved real format
@@ -255,9 +288,11 @@ class AncientEgyptianDecomposition(BasicTransform):
 
     name = "Ancient Egyptian Decomposition"
 
-    def __init__(self, inner: BasicTransform):
+    def __init__(self, inner: BasicTransform, initial_wavelet_space_size: int = 0):
         super().__init__()
         self.inner = inner
+        # stored-but-unused in the reference too (AncientEgyptianDecomposition.java:77-85)
+        self.initial_wavelet_space_size = initial_wavelet_space_size
 
     def get_wavelet(self):
         return self.inner.get_wavelet()

@@ -55,6 +55,26 @@ def ancient_egyptian_decompose(n: int) -> list[int]:
     return exps
 
 
+def ancient_egyptian_decompose_blocked(n: int, block_size: int) -> list[int]:
+    """Split ``n`` into ``block_size`` chunks plus a binary-decomposed rest.
+
+    Returns chunk SIZES uniformly (the reference's MathToolKit.decompose
+    (int, int) (MathToolKit.java:102-140) mixes units — block values followed
+    by exponents of the rest; sizes are strictly more useful and convert via
+    exponent_of_two).
+    """
+    if not is_power_of_two(block_size):
+        raise JWaveFailure(f"block size {block_size} is not 2^p")
+    if n < block_size:
+        raise JWaveFailure(f"block size {block_size} is greater than n {n}")
+    blocks = n // block_size
+    rest = n - blocks * block_size
+    sizes = [block_size] * blocks
+    if rest:
+        sizes += [1 << p for p in ancient_egyptian_decompose(rest)]
+    return sizes
+
+
 def ancient_egyptian_compose(exps: list[int]) -> int:
     """Inverse of :func:`ancient_egyptian_decompose` (MathToolKit.compose)."""
     return sum(1 << p for p in exps)

@@ -117,3 +117,36 @@ def test_exception_hierarchy():
     for e in (jw.JWaveNotAllocated, jw.JWaveNotFound, jw.JWaveNotImplemented,
               jw.JWaveNotKnown, jw.JWaveNotValid):
         assert issubclass(e, jw.JWaveFailure)
+
+
+def test_generic_decompose_wpt(rng):
+    """WaveletTransform.decompose is generic (WaveletTransform.java:136-146):
+    row l = forward at level l, reconstruction from any row."""
+    x = rng.standard_normal(64)
+    t = jw.WaveletPacketTransform("db2")
+    d = np.asarray(t.decompose(x))
+    assert d.shape == (7, 64)
+    for l in (0, 3, 6):
+        np.testing.assert_allclose(d[l], np.asarray(jw.wpt(jnp.asarray(x), "db2", l)), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(t.recompose(jnp.asarray(d), l)), x, atol=1e-8)
+
+
+def test_modwt_decompose_guarded():
+    with pytest.raises(jw.JWaveFailure):
+        jw.MODWTTransform("Haar").decompose(np.zeros(16))
+
+
+def test_aed_blocked_decompose():
+    from jwave_tpu.utils.numerics import ancient_egyptian_decompose_blocked
+
+    assert ancient_egyptian_decompose_blocked(127, 32) == [32, 32, 32, 16, 8, 4, 2, 1]
+    assert ancient_egyptian_decompose_blocked(64, 32) == [32, 32]
+    with pytest.raises(jw.JWaveFailure):
+        ancient_egyptian_decompose_blocked(16, 12)
+    with pytest.raises(jw.JWaveFailure):
+        ancient_egyptian_decompose_blocked(8, 16)
+
+
+def test_aed_parity_constructor():
+    t = jw.AncientEgyptianDecomposition(jw.FastWaveletTransform("Haar"), 4)
+    assert t.initial_wavelet_space_size == 4  # stored-but-unused, as in the reference
