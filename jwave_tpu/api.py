@@ -119,14 +119,14 @@ class WaveletTransform(BasicTransform):
         pyramid-reusing version."""
         from .utils.numerics import exponent_of_two
 
-        x = jnp.asarray(x)
-        steps = exponent_of_two(x.shape[-1])
-
         def build(a):
+            # steps derives from the traced shape, so jit retraces correctly
+            # for each signal length
+            steps = exponent_of_two(a.shape[-1])
             rows = [a] + [self._forward_core(a, l) for l in range(1, steps + 1)]
             return jnp.stack(rows, axis=-2)
 
-        return self._jitted(("gdec",), build)(x)
+        return self._jitted(("gdec",), build)(jnp.asarray(x))
 
     def recompose(self, mat, level=None):
         """Reconstruct from one decomposition row (highest by default)."""
@@ -422,8 +422,12 @@ class TransformBuilder:
     }
 
     @classmethod
-    def create(cls, transform_name: str, wavelet="Haar", **kwargs) -> Transform:
+    def create(cls, transform_name: str, wavelet=None, **kwargs) -> Transform:
         key = str(transform_name).lower().strip()
+        if wavelet is None:
+            # per-kind default: discrete transforms get Haar (the reference
+            # default), the CWT gets Morlet
+            wavelet = "morlet" if key == "continuous wavelet transform" else "Haar"
         if key.startswith("ancient egyptian decomposition"):
             rest = key[len("ancient egyptian decomposition"):].strip() or "fast wavelet transform"
             inner = cls.create(rest, wavelet, **kwargs).get_basic_transform()

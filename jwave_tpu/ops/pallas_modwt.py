@@ -123,7 +123,7 @@ def modwt_pallas(x, wavelet, level: int):
     """Forward MODWT (B, N) -> (B, level+1, N), cascade fused in VMEM."""
     g0, h0 = _base_filters(wavelet)
     b, n = x.shape
-    rb = min(BLOCK_ROWS, b)
+    rb = BLOCK_ROWS  # DMA row slices must stay 8-sublane aligned; pad instead
     # manual HBM DMA slices must not overrun: pad the batch to a block multiple
     bp = -(-b // rb) * rb
     if bp != b:
@@ -149,7 +149,7 @@ def imodwt_pallas(coeffs, wavelet):
     g0, h0 = _base_filters(wavelet)
     b, jp1, n = coeffs.shape
     level = jp1 - 1
-    rb = min(BLOCK_ROWS, b)
+    rb = BLOCK_ROWS  # DMA row slices must stay 8-sublane aligned; pad instead
     bp = -(-b // rb) * rb
     coeffs = coeffs.reshape(b, jp1 * n)
     if bp != b:

@@ -192,22 +192,23 @@ def cwt_direct(
     dt = 1.0 / fs
     sup_lo, sup_hi = wav.effective_support()
 
+    from ..ops.circular import _conv_valid
+
+    lead = signal.shape[:-1]
+    flat = signal.reshape((-1, n))
     rows = []
     for a in scales:
         lo = max(int(sup_lo * a * fs), -(n - 1))
         hi = min(int(sup_hi * a * fs), n - 1)
-        offsets = jnp.arange(lo, hi + 1)  # i - t
-        kernel = jnp.conj(wav.psi(offsets * dt / a)) / math.sqrt(a) * dt  # (K,)
-        # coef[t] = sum_d kernel[d] * x[t + lo + d], zero-padded
-        padded = jnp.pad(
-            signal,
-            [(0, 0)] * (signal.ndim - 1) + [(max(0, -lo), max(0, hi))],
-        )
-        k = hi - lo + 1
-        start = 0  # padded index of x[t + lo] at t=0 is (lo + pad_left) = max(lo,0)... compute:
-        start = lo + max(0, -lo)
-        windows = jnp.stack([padded[..., start + d : start + d + n] for d in range(k)], axis=-1)
-        rows.append(jnp.tensordot(windows, kernel, axes=[[-1], [0]]))
+        offsets = np.arange(lo, hi + 1)  # i - t
+        kernel = np.conj(np.asarray(wav.psi(jnp.asarray(offsets * dt / a)))) / math.sqrt(a) * dt
+        # coef[t] = sum_d kernel[d] * x[t + lo + d] with zero padding — one
+        # O(N)-memory correlation per scale (real and imaginary parts)
+        padded = jnp.pad(flat, [(0, 0), (max(0, -lo), max(0, hi))])
+        start = max(lo, 0)  # correlation output offset of coefficient t=0
+        re = _conv_valid(padded, np.ascontiguousarray(kernel.real), padded.dtype)[:, start : start + n]
+        im = _conv_valid(padded, np.ascontiguousarray(kernel.imag), padded.dtype)[:, start : start + n]
+        rows.append((re + 1j * im).reshape(lead + (n,)))
     res = jnp.stack(rows, axis=-2)
     time_axis = jnp.arange(n) / fs
     return CWTResult(res, jnp.asarray(scales), time_axis, fs, wav.name)

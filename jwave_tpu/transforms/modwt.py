@@ -32,6 +32,7 @@ from ..ops.butterfly import ensure_float
 from ..ops.circular import (
     circular_conv,
     circular_conv_adjoint,
+    filter_spectrum,
     wrap_filter,
 )
 from ..utils.numerics import exponent_of_two, is_power_of_two
@@ -97,8 +98,8 @@ def _pallas_applicable(x, level: int) -> bool:
     fit VMEM (~10 MB working set per row block)."""
     import jax
 
-    if jax.default_backend() == "cpu":
-        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False  # the kernel uses TPU-only Mosaic primitives
     if x.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     n = x.shape[-1]
@@ -109,9 +110,7 @@ def _pallas_applicable(x, level: int) -> bool:
     return vmem_bytes_needed(n, level, x.dtype.itemsize) <= 40 * 2**20
 
 
-def _spec(f: np.ndarray, n: int) -> np.ndarray:
-    fp = np.pad(f, (0, n - f.shape[0])) if f.shape[0] < n else f
-    return np.fft.rfft(fp)
+_spec = filter_spectrum  # shared wrap/pad + rfft semantics (ops.circular)
 
 
 def _cascade_spectra(wavelet, level: int, n: int) -> np.ndarray:

@@ -150,3 +150,18 @@ def test_aed_blocked_decompose():
 def test_aed_parity_constructor():
     t = jw.AncientEgyptianDecomposition(jw.FastWaveletTransform("Haar"), 4)
     assert t.initial_wavelet_space_size == 4  # stored-but-unused, as in the reference
+
+
+def test_generic_decompose_shape_cache(rng):
+    """Regression: decompose must retrace per signal length (the jit cache
+    key once froze `steps` from the first call)."""
+    t = jw.WaveletPacketTransform("Haar")
+    d8 = np.asarray(t.decompose(np.ones(8)))
+    d16 = np.asarray(t.decompose(np.ones(16)))
+    assert d8.shape == (4, 8)
+    assert d16.shape == (5, 16)
+
+
+def test_builder_cwt_default_wavelet():
+    t = jw.TransformBuilder.create("Continuous Wavelet Transform")
+    assert t.get_basic_transform().cwavelet.name == "Morlet"

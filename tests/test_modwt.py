@@ -107,3 +107,27 @@ def test_denoising_pattern(rng):
     den = np.asarray(jw.imodwt(jnp.asarray(c), "db4"))
     assert den.shape == x.shape
     assert not np.allclose(den, x)
+
+
+def test_circular_fft_helpers_match_direct(rng):
+    """ops.circular FFT-convolution helpers (public API) vs direct paths."""
+    from jwave_tpu.ops.circular import (
+        circular_conv,
+        circular_conv_adjoint,
+        circular_conv_fft,
+        circular_conv_adjoint_fft,
+    )
+
+    x = jnp.asarray(rng.standard_normal(40))
+    f = rng.standard_normal(7)
+    np.testing.assert_allclose(
+        np.asarray(circular_conv_fft(x, f)), np.asarray(circular_conv(x, f)), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(circular_conv_adjoint_fft(x, f)), np.asarray(circular_conv_adjoint(x, f)), atol=1e-10
+    )
+    # wrapped case: filter longer than the signal
+    flong = rng.standard_normal(100)
+    np.testing.assert_allclose(
+        np.asarray(circular_conv_fft(x, flong)), np.asarray(circular_conv(x, flong)), atol=1e-10
+    )
