@@ -89,9 +89,11 @@ from .transforms import (
     ifwt,
     imodwt,
     imodwt_1d,
+    imodwt_2d,
     iwpt,
     modwt,
     modwt_1d,
+    modwt_2d,
     shifting_forward,
     shifting_reverse,
     wpt,
@@ -108,7 +110,7 @@ __all__ = [
     "MeyerWavelet", "get_continuous_wavelet",
     "FilterBank", "get_filter", "available_filters", "junit_passing_filters",
     "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose",
-    "wpt", "iwpt", "modwt", "imodwt", "modwt_1d", "imodwt_1d",
+    "wpt", "iwpt", "modwt", "imodwt", "modwt_1d", "imodwt_1d", "modwt_2d", "imodwt_2d",
     "ConvolutionMethod", "cwt", "cwt_direct", "CWTResult", "PaddingType",
     "generate_log_scales", "generate_linear_scales",
     "fft", "ifft", "aed_forward", "aed_reverse",

@@ -6,7 +6,7 @@ over all leading axes. Class facades live in :mod:`jwave_tpu.api`.
 """
 from .fwt import fwt, ifwt, fwt_max_level, fwt_decompose, fwt_recompose
 from .wpt import wpt, iwpt
-from .modwt import modwt, imodwt, modwt_1d, imodwt_1d, ConvolutionMethod
+from .modwt import modwt, imodwt, modwt_1d, imodwt_1d, modwt_2d, imodwt_2d, ConvolutionMethod
 from .cwt import cwt, cwt_direct, CWTResult, generate_log_scales, generate_linear_scales, PaddingType
 from .fft import fft, ifft, dft, idft, fft_interleaved, ifft_interleaved
 from .aed import aed_forward, aed_reverse
@@ -16,7 +16,7 @@ from .ndim import forward_2d, reverse_2d, forward_3d, reverse_3d, forward_comple
 __all__ = [
     "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose",
     "wpt", "iwpt",
-    "modwt", "imodwt", "modwt_1d", "imodwt_1d", "ConvolutionMethod",
+    "modwt", "imodwt", "modwt_1d", "imodwt_1d", "modwt_2d", "imodwt_2d", "ConvolutionMethod",
     "cwt", "cwt_direct", "CWTResult", "generate_log_scales", "generate_linear_scales", "PaddingType",
     "fft", "ifft", "dft", "idft", "fft_interleaved", "ifft_interleaved",
     "aed_forward", "aed_reverse",

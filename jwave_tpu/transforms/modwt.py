@@ -279,3 +279,30 @@ def imodwt_1d(flat, wavelet, level: int | None = None, **kw):
             raise JWaveFailure("imodwt_1d - invalid coefficient array for given level")
     coeffs = flat.reshape(flat.shape[:-1] + (level + 1, n))
     return imodwt(coeffs, wavelet, **kw)
+
+
+def modwt_2d(mat, wavelet, level: int, **kw):
+    """Separable 2D MODWT: rows then columns of each subband.
+
+    Returns (..., J+1, J+1, R, C): entry (jr, jc) filters rows with the
+    level-jc row response and columns with the level-jr response. The
+    reference cannot express this (its 1D facade flattens to (J+1)*N, which
+    breaks the separable driver's length checks); standard in e.g.
+    PyWavelets as ``swt2``. Perfectly invertible via :func:`imodwt_2d`.
+    """
+    rows = modwt(mat, wavelet, level, **kw)  # (..., R, J+1, C)
+    rows = jnp.moveaxis(rows, -2, -3)  # (..., J+1, R, C)
+    cols = jnp.swapaxes(rows, -1, -2)  # (..., J+1, C, R)
+    cols = modwt(cols, wavelet, level, **kw)  # (..., J+1, C, J+1, R)
+    cols = jnp.moveaxis(cols, -2, -4)  # (..., J+1, J+1, C, R)
+    return jnp.swapaxes(cols, -1, -2)  # (..., jr, jc, R, C)
+
+
+def imodwt_2d(coeffs, wavelet, **kw):
+    """Inverse of :func:`modwt_2d`."""
+    c = jnp.swapaxes(coeffs, -1, -2)  # (..., J+1, J+1, C, R)
+    c = jnp.moveaxis(c, -4, -2)  # (..., J+1, C, J+1, R)
+    c = imodwt(c, wavelet, **kw)  # (..., J+1, C, R)
+    c = jnp.swapaxes(c, -1, -2)  # (..., J+1, R, C)
+    c = jnp.moveaxis(c, -3, -2)  # (..., R, J+1, C)
+    return imodwt(c, wavelet, **kw)  # (..., R, C)

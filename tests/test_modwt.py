@@ -131,3 +131,19 @@ def test_circular_fft_helpers_match_direct(rng):
     np.testing.assert_allclose(
         np.asarray(circular_conv_fft(x, flong)), np.asarray(circular_conv(x, flong)), atol=1e-10
     )
+
+
+def test_modwt_2d_separable(rng):
+    """2D MODWT subband (jr, jc) == columns-level-jr applied to the
+    rows-level-jc coefficients; perfect reconstruction."""
+    m = rng.standard_normal((16, 20))
+    c = np.asarray(jw.modwt_2d(jnp.asarray(m), "Haar", 2))
+    assert c.shape == (3, 3, 16, 20)
+    rowsc = np.asarray(jw.modwt(jnp.asarray(m), "Haar", 2))  # (16, 3, 20)
+    for jc in range(3):
+        sub = rowsc[:, jc, :]  # rows filtered at level jc
+        colsc = np.asarray(jw.modwt(jnp.asarray(sub.T), "Haar", 2))  # (20, 3, 16)
+        for jr in range(3):
+            np.testing.assert_allclose(c[jr, jc], colsc[:, jr, :].T, atol=1e-12)
+    back = np.asarray(jw.imodwt_2d(jnp.asarray(c), "Haar"))
+    np.testing.assert_allclose(back, m, atol=1e-10)
