@@ -30,7 +30,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: Mosaic requires the second-to-last block dim divisible by 8 (sublanes)
+def _block_rows(dtype) -> int:
+    """Sublane tiling: (8, 128) for f32, (16, 128) for bf16 — DMA row slices
+    must be tile-aligned."""
+    import jax.numpy as jnp
+
+    return 16 if dtype == jnp.bfloat16 else 8
+
+
+#: kept for compatibility with older callers/tests
 BLOCK_ROWS = 8
 
 
@@ -43,11 +51,13 @@ def _roll(x, shift, n):
 
 def _modwt_kernel(x_ref, o_any, scratch, sem, *, g0, h0, levels, n, rb):
     i = pl.program_id(0)
-    v = x_ref[:]  # (rb, N) in VMEM
+    # compute in f32 regardless of storage dtype (TPU rotate is 32-bit only,
+    # and f32 accumulation is better numerics for bf16 inputs anyway)
+    v = x_ref[:].astype(jnp.float32)  # (rb, N) in VMEM
     m = len(g0)
 
     def emit(row_idx, values):
-        scratch[0] = values
+        scratch[0] = values.astype(scratch.dtype)
         # flat (B, (J+1)*N) output: row slice at lane offset row_idx*n keeps
         # the (8, 128) tiling aligned (n is a multiple of 128)
         cp = pltpu.make_async_copy(
@@ -92,11 +102,11 @@ def _imodwt_kernel(c_any, o_ref, buf, sem, *, g0, h0, levels, n, rb):
 
     # prefetch V_J and W_J
     load(levels, 0).wait()
-    v = buf[0]
+    v = buf[0].astype(jnp.float32)
     nxt = load(levels - 1, 1)
     for j in range(levels, 0, -1):
         nxt.wait()
-        w = buf[(levels - j + 1) % 2]
+        w = buf[(levels - j + 1) % 2].astype(jnp.float32)
         if j > 1:  # prefetch the next detail row while computing
             nxt = load(j - 2, (levels - j) % 2)
         gap = 1 << (j - 1)
@@ -104,7 +114,7 @@ def _imodwt_kernel(c_any, o_ref, buf, sem, *, g0, h0, levels, n, rb):
         for t in range(m):
             acc = acc + g0[t] * _roll(v, -t * gap, n) + h0[t] * _roll(w, -t * gap, n)
         v = acc
-    o_ref[:] = v
+    o_ref[:] = v.astype(o_ref.dtype)
 
 
 def _base_filters(wavelet):
@@ -114,7 +124,7 @@ def _base_filters(wavelet):
     return tuple(float(v) for v in g0), tuple(float(v) for v in h0)
 
 
-def vmem_bytes_needed(n, levels, dtype_bytes=4, rows=BLOCK_ROWS):
+def vmem_bytes_needed(n, levels, dtype_bytes=4, rows=8):
     """VMEM working set: double-buffered input + v + w/vn + roll temp + scratch."""
     return rows * n * dtype_bytes * 6
 
@@ -123,7 +133,7 @@ def modwt_pallas(x, wavelet, level: int):
     """Forward MODWT (B, N) -> (B, level+1, N), cascade fused in VMEM."""
     g0, h0 = _base_filters(wavelet)
     b, n = x.shape
-    rb = BLOCK_ROWS  # DMA row slices must stay 8-sublane aligned; pad instead
+    rb = _block_rows(x.dtype)  # tile-aligned row blocks; batch padded below
     # manual HBM DMA slices must not overrun: pad the batch to a block multiple
     bp = -(-b // rb) * rb
     if bp != b:
@@ -149,7 +159,7 @@ def imodwt_pallas(coeffs, wavelet):
     g0, h0 = _base_filters(wavelet)
     b, jp1, n = coeffs.shape
     level = jp1 - 1
-    rb = BLOCK_ROWS  # DMA row slices must stay 8-sublane aligned; pad instead
+    rb = _block_rows(coeffs.dtype)  # tile-aligned row blocks; batch padded below
     bp = -(-b // rb) * rb
     coeffs = coeffs.reshape(b, jp1 * n)
     if bp != b:
