@@ -78,6 +78,7 @@ from .transforms import (
     aed_reverse,
     cwt,
     cwt_direct,
+    icwt,
     fft,
     fwt,
     fwt_decompose,
@@ -111,7 +112,7 @@ __all__ = [
     "FilterBank", "get_filter", "available_filters", "junit_passing_filters",
     "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose",
     "wpt", "iwpt", "modwt", "imodwt", "modwt_1d", "imodwt_1d", "modwt_2d", "imodwt_2d",
-    "ConvolutionMethod", "cwt", "cwt_direct", "CWTResult", "PaddingType",
+    "ConvolutionMethod", "cwt", "cwt_direct", "icwt", "CWTResult", "PaddingType",
     "generate_log_scales", "generate_linear_scales",
     "fft", "ifft", "aed_forward", "aed_reverse",
     "shifting_forward", "shifting_reverse",

@@ -212,3 +212,46 @@ def cwt_direct(
     res = jnp.stack(rows, axis=-2)
     time_axis = jnp.arange(n) / fs
     return CWTResult(res, jnp.asarray(scales), time_axis, fs, wav.name)
+
+
+def icwt(result: CWTResult, wavelet: ContinuousWavelet | str | None = None, reg: float = 1e-10):
+    """Approximate inverse CWT (capability superset — the reference raises,
+    ContinuousWaveletTransform.java:128-132).
+
+    Per-frequency least squares over the scale bank: with W_a = ifft(X *
+    conj(psi_hat_a)), the minimum-norm estimate is
+
+        X(w) = sum_a psi_hat_a(w) * W_a_hat(w) / (sum_a |psi_hat_a(w)|^2 + reg)
+
+    which is exact on every frequency covered by some scale (wavelets have
+    psi_hat(0) = 0, so the mean and out-of-band content are not
+    recoverable; for power-of-two signal lengths the forward pads nothing
+    and in-band reconstruction is to rounding).
+    """
+    if wavelet is None:
+        # parameterized wavelets (Paul(m), DOG(n, sigma), Morlet(fb, fc)) lose
+        # their parameters in the name — pass the wavelet object explicitly
+        # for exact inversion; name-based lookup gets the defaults
+        try:
+            wav = get_continuous_wavelet(result.wavelet_name)
+        except Exception:
+            wav = get_continuous_wavelet(result.wavelet_name.split(" ")[0])
+    else:
+        wav = get_continuous_wavelet(wavelet)
+    coeffs = result.coefficients  # (..., S, N)
+    n = coeffs.shape[-1]
+    fs = result.sampling_rate
+    omega = jnp.asarray(_omega_axis(n, fs))
+    a = jnp.asarray(result.scales)[:, None]
+    w_hat = wav.psi_hat_scaled(omega[None, :], a)  # (S, N)
+    W = jnp.fft.fft(coeffs, axis=-1)
+    num = jnp.sum(w_hat * W, axis=-2)
+    den = jnp.sum(jnp.abs(w_hat) ** 2, axis=0)
+    # analytic wavelets (Morlet, Paul) cover only positive frequencies; for a
+    # real signal X(-w) = conj(X(w)), so solve the least squares under the
+    # Hermitian constraint by pooling each bin with its mirror
+    mirror = (-np.arange(n)) % n
+    num_h = num + jnp.conj(num[..., mirror])
+    den_h = den + den[mirror]
+    x_hat = num_h / (den_h + reg)
+    return jnp.real(jnp.fft.ifft(x_hat, axis=-1))

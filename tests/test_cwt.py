@@ -190,3 +190,23 @@ def test_facade(rng):
         tr.forward(np.zeros(8))
     with pytest.raises(jw.JWaveFailure):
         tr.reverse(np.zeros(8))
+
+
+def test_icwt_reconstruction():
+    """Inverse CWT (superset — the reference raises): frequency-domain least
+    squares with Hermitian pooling is in-band exact for pow-2 lengths."""
+    fs, n = 100.0, 1024
+    t = np.arange(n) / fs
+    sig = np.sin(2 * np.pi * (51 * fs / n) * t) + 0.5 * np.cos(2 * np.pi * (113 * fs / n) * t)
+    scales = jw.generate_log_scales(0.005, 0.5, 48)
+    for wav in (jw.MorletWavelet(1.0, 1.0), jw.MexicanHatWavelet(1.0), jw.PaulWavelet(4)):
+        res = jw.cwt(sig, scales, wav, fs, jw.PaddingType.PERIODIC)
+        rec = np.asarray(jw.icwt(res, wav))
+        np.testing.assert_allclose(rec, sig, atol=1e-8)
+
+
+def test_icwt_default_wavelet_lookup():
+    sig = np.sin(2 * np.pi * 0.05 * np.arange(256))
+    res = jw.cwt(sig, [2.0, 4.0, 8.0, 16.0], "morlet", 1.0, jw.PaddingType.PERIODIC)
+    rec = np.asarray(jw.icwt(res))  # name-based lookup ("Morlet" -> defaults)
+    assert rec.shape == sig.shape
