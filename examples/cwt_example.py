@@ -33,5 +33,19 @@ def main():
     print(f"magnitude range: [{float(np.min(res.magnitude())):.3f}, {float(np.max(res.magnitude())):.3f}]")
 
 
+def inverse_demo():
+    """Round-trip: scalogram back to the signal (superset — the reference
+    cannot invert its CWT)."""
+    fs, n = 1000.0, 4096
+    t = np.arange(n) / fs
+    sig = np.sin(2 * np.pi * 25.0 * t) + 0.7 * np.sin(2 * np.pi * 120.0 * t)
+    wav = jw.MorletWavelet(1.0, 1.0)
+    scales = jw.generate_log_scales(1e-3, 0.2, 96)
+    res = jw.cwt(sig, scales, wav, fs, jw.PaddingType.PERIODIC)
+    rec = np.asarray(jw.icwt(res, wav))
+    print(f"icwt reconstruction max error: {np.max(np.abs(rec - sig)):.2e}")
+
+
 if __name__ == "__main__":
     main()
+    inverse_demo()
