@@ -14,6 +14,8 @@ Mesh over ICI/DCN with
 """
 from .mesh import make_mesh, initialize_distributed
 from .sharded import (
+    fwt_halo_sharded,
+    gather_pyramid,
     batch_sharded,
     cwt_scale_sharded,
     fwt2d_sharded,
@@ -34,5 +36,7 @@ __all__ = [
     "wpt2d_sharded",
     "iwpt2d_sharded",
     "modwt_halo_sharded",
+    "fwt_halo_sharded",
+    "gather_pyramid",
     "imodwt_halo_sharded",
 ]

@@ -295,3 +295,135 @@ def imodwt_halo_sharded(coeffs, wavelet, mesh: Mesh, axis_name: str | None = Non
 
     mapped = shard_map(_local, mesh=mesh, in_specs=P(None, axis_name), out_specs=P(axis_name))
     return jax.jit(mapped)(jnp.asarray(coeffs))
+
+
+# --------------------------------------------------------------------------
+# FWT: time axis sharded with ppermute halo exchange (distributed pyramid)
+# --------------------------------------------------------------------------
+
+def _butterfly_halo(v, dec_lo, dec_hi, axis_name, n_dev):
+    """One analysis butterfly on a time-sharded block: each chip computes its
+    contiguous share of approx/detail from its local samples plus an M-2
+    right halo fetched from the next chip (circular)."""
+    import numpy as np
+
+    n_loc = v.shape[-1]
+    m = int(dec_lo.shape[0])
+    halo = max(m - 2, 0)
+    if halo:
+        perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        right = lax.ppermute(v[..., :halo], axis_name, perm)
+        ext = jnp.concatenate([v, right], axis=-1)
+    else:
+        ext = v
+    rhs = jnp.asarray(np.stack([np.asarray(dec_lo), np.asarray(dec_hi)])[:, None, :], dtype=v.dtype)
+    out = lax.conv_general_dilated(
+        ext[None, None, :], rhs,
+        window_strides=(2,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=v.dtype,
+        precision=_config.conv_precision(),
+    )[0]  # (2, n_loc/2)
+    return out[0], out[1]  # local approx chunk, local detail chunk
+
+
+def fwt_halo_sharded(signal, wavelet, mesh: Mesh, level: int | None = None, axis_name=None):
+    """Multi-level FWT with the signal's time axis sharded across the mesh,
+    using per-level ``ppermute`` halo exchange (BASELINE config #4's halo
+    pattern; the transpose-based ``fwt2d_sharded`` is the alternative).
+
+    Each level's butterfly needs only an (M-2)-sample right halo; the approx
+    chain stays distributed (chip c always owns the c-th contiguous chunk of
+    the current prefix), so no data ever re-shuffles. When the shrinking
+    prefix no longer spans all chips with at least a filter-length per chip,
+    the remaining tiny prefix is finished redundantly on every chip after an
+    all_gather (cheap: the prefix is < D * M samples).
+
+    Returns the coefficients in the *distributed pyramid layout*: chip c's
+    local slice is ``[D_1^c | D_2^c | ... | A_L^c]`` (finest detail first).
+    Use :func:`gather_pyramid` to convert a gathered copy to the reference's
+    global ``[A_L | D_L | ... | D_1]`` layout.
+    """
+    from ..filters import get_filter
+    from ..utils.numerics import exponent_of_two, is_power_of_two
+
+    fb = get_filter(wavelet)
+    axis_name = axis_name or mesh.axis_names[0]
+    n_dev = mesh.shape[axis_name]
+    n = signal.shape[-1]
+    if signal.ndim != 1:
+        raise JWaveFailure("fwt_halo_sharded - expects a 1D signal")
+    if not is_power_of_two(n) or n % n_dev:
+        raise JWaveFailure(f"fwt_halo_sharded - length {n} must be 2^p and divide over {n_dev} chips")
+    steps = exponent_of_two(n)
+    if level is None:
+        level = steps
+    m = fb.length
+
+    # sharded levels: local chunk of the prefix must keep >= M samples
+    sharded_levels = 0
+    h = n
+    while sharded_levels < level and h >= fb.transform_wavelength and (h // n_dev) >= max(m, 2):
+        sharded_levels += 1
+        h >>= 1
+    tail_levels = 0
+    while sharded_levels + tail_levels < level and h >= fb.transform_wavelength:
+        tail_levels += 1
+        h >>= 1
+
+    def _local(v):  # v: (n_loc,) local chunk
+        details = []
+        for _ in range(sharded_levels):
+            v, d = _butterfly_halo(v, fb.dec_lo, fb.dec_hi, axis_name, n_dev)
+            details.append(d)
+        if tail_levels:
+            # gather the tiny remaining prefix and finish on every chip
+            full = lax.all_gather(v, axis_name, axis=0, tiled=True)
+            from ..transforms.fwt import fwt as fwt_1d
+
+            full = fwt_1d(full, fb, tail_levels)
+            h_rem = full.shape[-1]
+            loc = h_rem // n_dev
+            idx = lax.axis_index(axis_name)
+            v = lax.dynamic_slice_in_dim(full, idx * loc, loc, axis=0)
+        # local layout: [D_1^c | D_2^c | ... | tail] (finest detail first)
+        return jnp.concatenate(details + [v]) if details else v
+
+    mapped = shard_map(_local, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name))
+    return jax.jit(mapped)(jnp.asarray(signal))
+
+
+def gather_pyramid(dist, wavelet, level: int, n_dev: int):
+    """Convert the gathered distributed-pyramid output of
+    :func:`fwt_halo_sharded` into the reference's global layout
+    ``[A_L | D_L | ... | D_1]`` (host-side reshuffle)."""
+    import numpy as np
+
+    from ..filters import get_filter
+    from ..utils.numerics import exponent_of_two
+
+    fb = get_filter(wavelet)
+    arr = np.asarray(dist)
+    n = arr.shape[-1]
+    n_loc = n // n_dev
+    chunks = arr.reshape(n_dev, n_loc)
+    # recompute the sharded/tail split exactly as the forward did
+    m = fb.length
+    sharded_levels = 0
+    h = n
+    while sharded_levels < level and h >= fb.transform_wavelength and (h // n_dev) >= max(m, 2):
+        sharded_levels += 1
+        h >>= 1
+    out = np.empty(n)
+    # local layout per chip: [D_1^c .. D_L^c | A-or-tail chunk]
+    offset_local = 0
+    for l in range(1, sharded_levels + 1):
+        d_len = n // (2**l) // n_dev
+        region = out[n // (2**l) : n // 2 ** (l - 1)]
+        for c in range(n_dev):
+            region[c * d_len : (c + 1) * d_len] = chunks[c, offset_local : offset_local + d_len]
+        offset_local += d_len
+    tail_len = n_loc - offset_local
+    for c in range(n_dev):
+        out[c * tail_len : (c + 1) * tail_len] = chunks[c, offset_local:]
+    return out

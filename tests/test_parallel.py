@@ -117,3 +117,26 @@ def test_modwt_halo_level_too_deep_raises(mesh):
     # db20 at level 5 has support 40*16 >> 64/8 local samples
     with pytest.raises(jw.JWaveFailure):
         modwt_halo_sharded(jnp.zeros(64), "db20", 5, mesh)
+
+
+def test_fwt_halo_sharded_matches_single(mesh, rng):
+    """Halo-exchange FWT (distributed pyramid layout) reassembles bit-exactly
+    to the single-device transform."""
+    from jwave_tpu.parallel import fwt_halo_sharded, gather_pyramid
+
+    x = rng.standard_normal(1024)
+    for name, lev in [("Haar", None), ("db4", 4), ("sym8", 3)]:
+        y = fwt_halo_sharded(jnp.asarray(x), name, mesh, lev)
+        lev_eff = 10 if lev is None else lev
+        glob = gather_pyramid(y, name, lev_eff, 8)
+        want = np.asarray(jw.fwt(jnp.asarray(x), name, lev))
+        np.testing.assert_array_equal(glob, want)
+
+
+def test_fwt_halo_sharded_validates(mesh):
+    from jwave_tpu.parallel import fwt_halo_sharded
+
+    with pytest.raises(jw.JWaveFailure):
+        fwt_halo_sharded(jnp.zeros(1000), "Haar", mesh)  # not 2^p
+    with pytest.raises(jw.JWaveFailure):
+        fwt_halo_sharded(jnp.zeros((4, 256)), "Haar", mesh)  # not 1D
