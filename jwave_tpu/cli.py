@@ -64,11 +64,15 @@ def main(argv=None) -> int:
                    help='e.g. "Fast Wavelet Transform", "MODWT", "list", "bench"')
     p.add_argument("wavelet", nargs="?", default="Haar", help='e.g. "Haar", "db4", "sym8"')
     args = p.parse_args(argv)
-    if args.transform == "list":
-        return _list()
-    if args.transform == "bench":
-        return _bench()
-    return _demo(args.transform, args.wavelet)
+    try:
+        if args.transform == "list":
+            return _list()
+        if args.transform == "bench":
+            return _bench()
+        return _demo(args.transform, args.wavelet)
+    except Exception as e:  # clean one-line CLI errors, no traceback
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -1,0 +1,48 @@
+"""Wavelet shrinkage denoising (superset of the reference's compressors)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import jwave_tpu as jw
+from jwave_tpu.denoise import denoise, hard_threshold, mad_sigma, soft_threshold
+
+
+def test_thresholds():
+    c = jnp.asarray([-3.0, -0.5, 0.0, 0.5, 3.0])
+    np.testing.assert_allclose(np.asarray(soft_threshold(c, 1.0)), [-2, 0, 0, 0, 2], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(hard_threshold(c, 1.0)), [-3, 0, 0, 0, 3], atol=1e-12)
+
+
+def test_mad_sigma_gaussian(rng):
+    noise = rng.standard_normal(100000) * 2.5
+    est = float(mad_sigma(jnp.asarray(noise)))
+    assert est == pytest.approx(2.5, rel=0.05)
+
+
+@pytest.mark.parametrize("mode", ["soft", "hard"])
+def test_denoise_improves_mse(mode, rng):
+    n = 1024
+    t = np.linspace(0, 4 * np.pi, n)
+    clean = np.sin(t) + 0.5 * np.sin(3 * t)
+    noisy = clean + 0.3 * rng.standard_normal(n)
+    den = np.asarray(denoise(jnp.asarray(noisy), "db4", 4, mode))
+    assert np.mean((den - clean) ** 2) < 0.5 * np.mean((noisy - clean) ** 2)
+
+
+def test_denoise_batched(rng):
+    xs = rng.standard_normal((5, 256))
+    out = np.asarray(denoise(jnp.asarray(xs), "Haar", 3))
+    assert out.shape == (5, 256)
+    single = np.asarray(denoise(jnp.asarray(xs[2]), "Haar", 3))
+    np.testing.assert_allclose(out[2], single, atol=1e-10)
+
+
+def test_denoise_explicit_threshold_zero_is_identity(rng):
+    x = rng.standard_normal(128)
+    out = np.asarray(denoise(jnp.asarray(x), "db2", 3, "soft", threshold=0.0))
+    np.testing.assert_allclose(out, x, atol=1e-8)
+
+
+def test_denoise_bad_mode():
+    with pytest.raises(jw.JWaveFailure):
+        denoise(jnp.zeros(64), "Haar", 2, mode="medium")
