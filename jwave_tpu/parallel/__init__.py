@@ -17,6 +17,7 @@ from .sharded import (
     fwt_halo_sharded,
     gather_pyramid,
     batch_sharded,
+    cwt_batch_scale_sharded,
     cwt_scale_sharded,
     fwt2d_sharded,
     ifwt2d_sharded,
@@ -31,6 +32,7 @@ __all__ = [
     "initialize_distributed",
     "batch_sharded",
     "cwt_scale_sharded",
+    "cwt_batch_scale_sharded",
     "fwt2d_sharded",
     "ifwt2d_sharded",
     "wpt2d_sharded",

@@ -427,3 +427,57 @@ def gather_pyramid(dist, wavelet, level: int, n_dev: int):
     for c in range(n_dev):
         out[c * tail_len : (c + 1) * tail_len] = chunks[c, offset_local:]
     return out
+
+
+def cwt_batch_scale_sharded(
+    signals,
+    scales,
+    wavelet,
+    mesh: Mesh,
+    sampling_rate: float = 1.0,
+    padding: PaddingType = PaddingType.SYMMETRIC,
+    batch_axis: str | None = None,
+    scale_axis: str | None = None,
+) -> CWTResult:
+    """CWT over a 2D mesh: signals data-parallel on one axis, scales on the
+    other — the scalable layout for many-signal scalogram pipelines.
+
+    ``signals`` is (B, N); output coefficients are (B, S, N) sharded
+    (batch_axis, scale_axis, None). Zero collectives: each chip computes the
+    FFTs of its own signal block and applies its own scale block.
+    """
+    import numpy as np
+
+    if len(mesh.axis_names) < 2:
+        raise JWaveFailure("cwt_batch_scale_sharded - needs a 2D mesh (batch, scale axes)")
+    batch_axis = batch_axis or mesh.axis_names[0]
+    scale_axis = scale_axis or mesh.axis_names[1]
+    nb = mesh.shape[batch_axis]
+    ns = mesh.shape[scale_axis]
+    wav = get_continuous_wavelet(wavelet)
+    scales = np.atleast_1d(np.asarray(scales, dtype=np.float64))
+    if signals.ndim != 2:
+        raise JWaveFailure("cwt_batch_scale_sharded - signals must be (B, N)")
+    if signals.shape[0] % nb or scales.shape[0] % ns:
+        raise JWaveFailure(
+            f"cwt_batch_scale_sharded - batch {signals.shape[0]} and scales "
+            f"{scales.shape[0]} must divide over mesh {nb}x{ns}"
+        )
+    n = signals.shape[-1]
+    padded_len = next_power_of_two(n)
+    omega = jnp.asarray(_omega_axis(padded_len, sampling_rate))
+
+    def _local(sig_block, scales_loc):  # (B/nb, N), (S/ns,)
+        sig_fft = jnp.fft.fft(pad_signal(sig_block, padded_len, padding), axis=-1)
+        a = scales_loc[:, None]
+        w_hat = jnp.conj(wav.psi_hat_scaled(omega[None, :], a))
+        return jnp.fft.ifft(sig_fft[:, None, :] * w_hat[None, :, :], axis=-1)[..., :n]
+
+    mapped = shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(batch_axis, None), P(scale_axis)),
+        out_specs=P(batch_axis, scale_axis, None),
+    )
+    coeffs = jax.jit(mapped)(jnp.asarray(signals), jnp.asarray(scales))
+    time_axis = jnp.arange(n) / sampling_rate
+    return CWTResult(coeffs, jnp.asarray(scales), time_axis, float(sampling_rate), wav.name)

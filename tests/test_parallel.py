@@ -140,3 +140,29 @@ def test_fwt_halo_sharded_validates(mesh):
         fwt_halo_sharded(jnp.zeros(1000), "Haar", mesh)  # not 2^p
     with pytest.raises(jw.JWaveFailure):
         fwt_halo_sharded(jnp.zeros((4, 256)), "Haar", mesh)  # not 1D
+
+
+def test_cwt_2d_mesh_batch_scale(rng):
+    """2D mesh (batch x scales): zero-collective sharding of a many-signal
+    scalogram pipeline matches the single-device result."""
+    from jwave_tpu.parallel import cwt_batch_scale_sharded
+
+    mesh2d = make_mesh((4, 2), ("batch", "scale"))
+    sigs = rng.standard_normal((8, 256))
+    scales = jw.generate_log_scales(1.0, 16.0, 6)
+    res = cwt_batch_scale_sharded(jnp.asarray(sigs), scales, "morlet", mesh2d, 2.0)
+    want = jw.cwt(jnp.asarray(sigs), scales, "morlet", 2.0)
+    np.testing.assert_allclose(
+        np.asarray(res.coefficients), np.asarray(want.coefficients), atol=1e-10
+    )
+
+
+def test_cwt_2d_mesh_validates(rng):
+    from jwave_tpu.parallel import cwt_batch_scale_sharded
+
+    mesh2d = make_mesh((4, 2), ("batch", "scale"))
+    with pytest.raises(jw.JWaveFailure):
+        cwt_batch_scale_sharded(jnp.zeros((7, 64)), [1.0, 2.0], "morlet", mesh2d)
+    mesh1d = make_mesh((8,), ("shard",))
+    with pytest.raises(jw.JWaveFailure):
+        cwt_batch_scale_sharded(jnp.zeros((8, 64)), [1.0, 2.0], "morlet", mesh1d)

@@ -47,3 +47,11 @@ def test_batched(rng):
 def test_non_pow2_raises():
     with pytest.raises(jw.JWaveFailure):
         jw.wpt(jnp.zeros(100), "Haar")
+
+
+@pytest.mark.parametrize("fb", __import__("jwave_tpu").junit_passing_filters(), ids=lambda f: f.name)
+def test_roundtrip_all_wavelets_wpt(fb, rng):
+    """WPT round-trip across the reference's full JUnit wavelet set."""
+    x = rng.standard_normal(64)
+    y = jw.wpt(jnp.asarray(x), fb.name, 3)
+    np.testing.assert_allclose(np.asarray(jw.iwpt(y, fb.name, 3)), x, atol=1e-6)
