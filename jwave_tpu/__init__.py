@@ -84,7 +84,9 @@ from .transforms import (
     fwt,
     fwt_decompose,
     fwt_max_level,
+    fwt_merge,
     fwt_recompose,
+    fwt_split,
     generate_linear_scales,
     generate_log_scales,
     ifft,
@@ -112,7 +114,7 @@ __all__ = [
     "MorletWavelet", "MexicanHatWavelet", "PaulWavelet", "DOGWavelet",
     "MeyerWavelet", "get_continuous_wavelet",
     "FilterBank", "get_filter", "available_filters", "junit_passing_filters",
-    "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose",
+    "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose", "fwt_split", "fwt_merge",
     "wpt", "iwpt", "modwt", "imodwt", "modwt_1d", "imodwt_1d", "modwt_2d", "imodwt_2d",
     "ConvolutionMethod", "cwt", "cwt_direct", "icwt", "CWTResult", "PaddingType",
     "generate_log_scales", "generate_linear_scales",

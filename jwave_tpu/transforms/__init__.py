@@ -4,7 +4,7 @@ Each transform is a pure function ``f(signal, wavelet/params, level) ->
 coeffs`` over the last axis (or last 2/3 axes for separable nD), batched
 over all leading axes. Class facades live in :mod:`jwave_tpu.api`.
 """
-from .fwt import fwt, ifwt, fwt_max_level, fwt_decompose, fwt_recompose
+from .fwt import fwt, ifwt, fwt_max_level, fwt_decompose, fwt_recompose, fwt_split, fwt_merge
 from .wpt import wpt, iwpt
 from .modwt import modwt, imodwt, modwt_1d, imodwt_1d, modwt_2d, imodwt_2d, ConvolutionMethod
 from .cwt import cwt, cwt_direct, icwt, CWTResult, generate_log_scales, generate_linear_scales, PaddingType
@@ -14,7 +14,7 @@ from .shifting import shifting_forward, shifting_reverse
 from .ndim import forward_2d, reverse_2d, forward_3d, reverse_3d, forward_complex, reverse_complex
 
 __all__ = [
-    "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose",
+    "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose", "fwt_split", "fwt_merge",
     "wpt", "iwpt",
     "modwt", "imodwt", "modwt_1d", "imodwt_1d", "modwt_2d", "imodwt_2d", "ConvolutionMethod",
     "cwt", "cwt_direct", "icwt", "CWTResult", "generate_log_scales", "generate_linear_scales", "PaddingType",

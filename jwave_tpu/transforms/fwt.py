@@ -104,3 +104,29 @@ def fwt_recompose(mat, wavelet, level: int | None = None):
     if level is None:
         level = mat.shape[-2] - 1
     return ifwt(mat[..., level, :], wavelet, level)
+
+
+def fwt_split(y, level: int | None = None):
+    """Split an in-place pyramid array into named coefficient views.
+
+    The reference exposes only the raw ``[A_L | D_L | ... | D_1]`` array;
+    this returns ``{"aL": (...), "dL": ..., ..., "d1": ...}`` (zero-copy
+    slices). Inverse of :func:`fwt_merge`.
+    """
+    n = y.shape[-1]
+    steps = exponent_of_two(n)
+    if level is None:
+        level = steps
+    parts = {f"a{level}": y[..., : n >> level]}
+    for l in range(level, 0, -1):
+        parts[f"d{l}"] = y[..., n >> l : n >> (l - 1)]
+    return parts
+
+
+def fwt_merge(parts: dict):
+    """Reassemble :func:`fwt_split` views into the pyramid array."""
+    level = max(int(k[1:]) for k in parts if k.startswith("d")) if any(
+        k.startswith("d") for k in parts
+    ) else 0
+    order = [f"a{level}"] + [f"d{l}" for l in range(level, 0, -1)]
+    return jnp.concatenate([parts[k] for k in order], axis=-1)

@@ -104,3 +104,16 @@ def test_decompose_recompose(rng):
         np.testing.assert_allclose(
             np.asarray(jw.fwt_recompose(jnp.asarray(mat), "db2", l)), x, atol=1e-9
         )
+
+
+def test_fwt_split_merge(rng):
+    x = rng.standard_normal(64)
+    y = jw.fwt(jnp.asarray(x), "db2", 3)
+    parts = jw.fwt_split(y, 3)
+    assert set(parts) == {"a3", "d3", "d2", "d1"}
+    assert parts["a3"].shape == (8,) and parts["d1"].shape == (32,)
+    np.testing.assert_allclose(np.asarray(jw.fwt_merge(parts)), np.asarray(y), atol=0)
+    # zero d1 and reconstruct: a valid lowpass operation
+    parts["d1"] = jnp.zeros_like(parts["d1"])
+    smooth = np.asarray(jw.ifwt(jw.fwt_merge(parts), "db2", 3))
+    assert smooth.shape == x.shape
