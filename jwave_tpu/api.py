@@ -213,8 +213,9 @@ class MODWTTransform(WaveletTransform):
 
     def inverse_modwt(self, coeffs):
         """(..., J+1, N) -> (..., N) (MODWTTransform.java:337-375)."""
+        coeffs = jnp.asarray(coeffs)
         return self._jitted(("im", coeffs.shape[-2]), partial(imodwt, wavelet=self.wavelet, **self._kw()))(
-            jnp.asarray(coeffs)
+            coeffs
         )
 
     def set_convolution_method(self, method: ConvolutionMethod):

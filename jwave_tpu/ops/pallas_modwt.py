@@ -33,13 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _block_rows(dtype) -> int:
     """Sublane tiling: (8, 128) for f32, (16, 128) for bf16 — DMA row slices
     must be tile-aligned."""
-    import jax.numpy as jnp
-
     return 16 if dtype == jnp.bfloat16 else 8
-
-
-#: kept for compatibility with older callers/tests
-BLOCK_ROWS = 8
 
 
 def _roll(x, shift, n):
@@ -124,9 +118,13 @@ def _base_filters(wavelet):
     return tuple(float(v) for v in g0), tuple(float(v) for v in h0)
 
 
-def vmem_bytes_needed(n, levels, dtype_bytes=4, rows=8):
-    """VMEM working set: double-buffered input + v + w/vn + roll temp + scratch."""
-    return rows * n * dtype_bytes * 6
+def vmem_bytes_needed(n, dtype) -> int:
+    """VMEM working set estimate for one row block: double-buffered input and
+    scratch in the storage dtype, plus ~4 float32 working arrays (v, w, vn,
+    roll temp) — the kernel always computes in f32."""
+    rows = _block_rows(dtype)
+    itemsize = jnp.dtype(dtype).itemsize
+    return rows * n * (3 * itemsize + 4 * 4)
 
 
 def modwt_pallas(x, wavelet, level: int):

@@ -115,6 +115,22 @@ def cwt_scale_sharded(
 # separable 2D transforms: row shards + all_to_all distributed transpose
 # --------------------------------------------------------------------------
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _cached_separable_2d(kind: str, wavelet_name: str, level_rows, level_cols,
+                         mesh: Mesh, axis_name: str):
+    """Build (once per config) the jitted sharded 2D transform — a fresh
+    closure per call would force an XLA recompile every invocation."""
+    fwd = {"fwt": fwt, "ifwt": ifwt, "wpt": wpt, "iwpt": iwpt}[kind]
+    return _sharded_separable_2d(
+        lambda b: fwd(b, wavelet_name, level_cols),
+        lambda b: fwd(b, wavelet_name, level_rows),
+        mesh, axis_name,
+    )
+
+
 def _sharded_separable_2d(fn_rows, fn_cols, mesh: Mesh, axis_name: str | None = None):
     """rows-local transform -> all_to_all transpose -> columns-local
     transform -> all_to_all back. Both collectives move each element twice
@@ -156,30 +172,34 @@ def _sharded_separable_2d(fn_rows, fn_cols, mesh: Mesh, axis_name: str | None = 
 
 def fwt2d_sharded(mat, wavelet, mesh: Mesh, level_rows=None, level_cols=None, axis_name=None):
     """2D FWT sharded across the mesh (BASELINE config #4)."""
-    f = _sharded_separable_2d(
-        lambda b: fwt(b, wavelet, level_cols), lambda b: fwt(b, wavelet, level_rows), mesh, axis_name
-    )
+    from ..filters import get_filter
+
+    f = _cached_separable_2d('fwt', get_filter(wavelet).name, level_rows, level_cols,
+                             mesh, axis_name or mesh.axis_names[0])
     return f(jnp.asarray(mat))
 
 
 def ifwt2d_sharded(mat, wavelet, mesh: Mesh, level_rows=None, level_cols=None, axis_name=None):
-    f = _sharded_separable_2d(
-        lambda b: ifwt(b, wavelet, level_cols), lambda b: ifwt(b, wavelet, level_rows), mesh, axis_name
-    )
+    from ..filters import get_filter
+
+    f = _cached_separable_2d('ifwt', get_filter(wavelet).name, level_rows, level_cols,
+                             mesh, axis_name or mesh.axis_names[0])
     return f(jnp.asarray(mat))
 
 
 def wpt2d_sharded(mat, wavelet, mesh: Mesh, level_rows=None, level_cols=None, axis_name=None):
-    f = _sharded_separable_2d(
-        lambda b: wpt(b, wavelet, level_cols), lambda b: wpt(b, wavelet, level_rows), mesh, axis_name
-    )
+    from ..filters import get_filter
+
+    f = _cached_separable_2d('wpt', get_filter(wavelet).name, level_rows, level_cols,
+                             mesh, axis_name or mesh.axis_names[0])
     return f(jnp.asarray(mat))
 
 
 def iwpt2d_sharded(mat, wavelet, mesh: Mesh, level_rows=None, level_cols=None, axis_name=None):
-    f = _sharded_separable_2d(
-        lambda b: iwpt(b, wavelet, level_cols), lambda b: iwpt(b, wavelet, level_rows), mesh, axis_name
-    )
+    from ..filters import get_filter
+
+    f = _cached_separable_2d('iwpt', get_filter(wavelet).name, level_rows, level_cols,
+                             mesh, axis_name or mesh.axis_names[0])
     return f(jnp.asarray(mat))
 
 

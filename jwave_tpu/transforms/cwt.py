@@ -192,8 +192,10 @@ def cwt_direct(
     dt = 1.0 / fs
     sup_lo, sup_hi = wav.effective_support()
 
+    from ..ops.butterfly import ensure_float
     from ..ops.circular import _conv_valid
 
+    signal = ensure_float(jnp.asarray(signal))
     lead = signal.shape[:-1]
     flat = signal.reshape((-1, n))
     rows = []

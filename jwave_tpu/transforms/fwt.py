@@ -65,8 +65,20 @@ def ifwt(y, wavelet, level: int | None = None):
         level = steps
     if level < 0 or level > steps:
         raise JWaveFailure(f"ifwt - level {level} out of range [0, {steps}]")
-    h = fb.transform_wavelength << (steps - level)
-    while h <= n and h >= fb.transform_wavelength:
+    # number of levels the forward actually performed: it stops either at
+    # `level` or when the shrinking prefix drops below transform_wavelength.
+    # (The reference computes h = tw << (steps - level), which is only correct
+    # for tw == 2 — for Battle 23 (tw=8) its partial-level inverse silently
+    # no-ops, FastWaveletTransform.java:137-141; fixed here.)
+    levels_done = 0
+    h_probe = n
+    while h_probe >= fb.transform_wavelength and levels_done < level:
+        levels_done += 1
+        h_probe >>= 1
+    if levels_done == 0:
+        return y
+    h = n >> (levels_done - 1)
+    while h <= n:
         head = butterfly_reverse(y[..., :h], fb.rec_lo, fb.rec_hi, fb.recon_gain)
         y = jnp.concatenate([head, y[..., h:]], axis=-1) if h < n else head
         h <<= 1

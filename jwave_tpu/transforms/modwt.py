@@ -107,7 +107,7 @@ def _pallas_applicable(x, level: int) -> bool:
         return False
     from ..ops.pallas_modwt import vmem_bytes_needed
 
-    return vmem_bytes_needed(n, level, x.dtype.itemsize) <= 40 * 2**20
+    return vmem_bytes_needed(n, x.dtype) <= 40 * 2**20
 
 
 _spec = filter_spectrum  # shared wrap/pad + rfft semantics (ops.circular)
@@ -181,7 +181,6 @@ def modwt(
     # decided per whole transform from the deepest level's N*M product,
     # mirroring the reference's AUTO rule (MODWTTransform.java:640-664)
     if _use_fft(method, n, _upsample_len(wavelet, level), fft_threshold):
-        x = ensure_float(x)
         cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
         fil = jnp.asarray(_cascade_spectra(wavelet, level, n), dtype=cdtype)  # (J+1, nf)
         spec = jnp.fft.rfft(x, axis=-1)
@@ -228,7 +227,6 @@ def imodwt(
     # FFT path: telescoped adjoint — one batched rfft over the (J+1) rows,
     # conjugate-weighted sum, one irfft
     if _use_fft(method, n, _upsample_len(wavelet, level), fft_threshold):
-        coeffs = ensure_float(coeffs)
         cdtype = jnp.complex128 if coeffs.dtype == jnp.float64 else jnp.complex64
         fil = jnp.asarray(np.conj(_cascade_spectra(wavelet, level, n)), dtype=cdtype)
         spec = jnp.fft.rfft(coeffs, axis=-1)  # (..., J+1, nf)

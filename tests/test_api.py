@@ -165,3 +165,16 @@ def test_generic_decompose_shape_cache(rng):
 def test_builder_cwt_default_wavelet():
     t = jw.TransformBuilder.create("Continuous Wavelet Transform")
     assert t.get_basic_transform().cwavelet.name == "Morlet"
+
+
+def test_inverse_modwt_accepts_lists(rng):
+    m = jw.MODWTTransform("Haar")
+    x = rng.standard_normal(32)
+    stack = np.asarray(m.forward_modwt(jnp.asarray(x), 2)).tolist()
+    back = np.asarray(m.inverse_modwt(stack))
+    np.testing.assert_allclose(back, x, atol=1e-8)
+
+
+def test_cwt_direct_int_input():
+    res = jw.cwt_direct(np.arange(32), [2.0], "mexican hat")
+    assert float(np.max(np.abs(np.asarray(res.coefficients)))) > 0.0

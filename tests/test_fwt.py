@@ -117,3 +117,16 @@ def test_fwt_split_merge(rng):
     parts["d1"] = jnp.zeros_like(parts["d1"])
     smooth = np.asarray(jw.ifwt(jw.fwt_merge(parts), "db2", 3))
     assert smooth.shape == x.shape
+
+
+def test_partial_level_inverse_battle23(rng):
+    """Regression: transform_wavelength=8 banks (Battle 23) must invert
+    partial-level transforms (the reference's h = tw << (steps-level) start
+    silently no-ops here — FastWaveletTransform.java:137-141)."""
+    x = rng.standard_normal(64)
+    for lev in (1, 2, 3):
+        y = jw.fwt(jnp.asarray(x), "Battle 23", lev)
+        back = np.asarray(jw.ifwt(y, "Battle 23", lev))
+        # Battle 23 is a truncated (non-orthogonal) filter: the round-trip is
+        # approximate by construction, but must actually run the synthesis
+        assert not np.allclose(back, np.asarray(y)), "inverse was a no-op"
