@@ -136,5 +136,52 @@ def main():
     }))
 
 
+def sweep():
+    """Reproduce the reference's performance-test sweeps (SURVEY.md §6):
+    MODWT direct-vs-FFT-vs-Pallas over sizes 64..8192
+    (MODWTFFTPerformanceTest.java:51-76), WPT scaling 512..65536
+    (ParallelWPTPerformanceTest.java:112), CWT scale-count scaling 10..100
+    (CWT_PARALLEL_PERFORMANCE.md)."""
+    import jax
+    import jax.numpy as jnp
+    import jwave_tpu as jw
+
+    rng = np.random.default_rng(0)
+    print("# MODWT db4 L4: direct vs FFT vs Pallas (batch 8)")
+    for n in (64, 256, 1024, 8192):
+        x = jnp.asarray(rng.standard_normal((8, n)), dtype=jnp.float32)
+        row = {"n": n}
+        for label, method in [("direct", jw.ConvolutionMethod.DIRECT),
+                              ("fft", jw.ConvolutionMethod.FFT),
+                              ("pallas", jw.ConvolutionMethod.PALLAS)]:
+            try:
+                dt = bench_op(lambda a, m=method: jw.modwt(a, "db4", 4, method=m).sum(axis=-2), x, k=64)
+                row[label] = round(dt * 1e6, 1)
+            except Exception as e:
+                row[label] = f"n/a ({type(e).__name__})"
+        print(json.dumps({"modwt_sweep_us": row}))
+
+    print("# WPT db4 full depth: sizes 512..65536 (batch 8)")
+    for n in (512, 4096, 65536):
+        x = jnp.asarray(rng.standard_normal((8, n)), dtype=jnp.float32)
+        dt = bench_op(lambda a: jw.wpt(a, "db4"), x, k=64)
+        print(json.dumps({"wpt_sweep": {"n": n, "us": round(dt * 1e6, 1)}}))
+
+    print("# CWT Morlet on 8192 samples: scale counts 10..100")
+    sig = jnp.asarray(rng.standard_normal(8192), dtype=jnp.float32)
+    for s in (10, 25, 50, 100):
+        scales = jw.generate_log_scales(1e-4, 1e-1, s)
+        def run(a, sc=scales):
+            r = jw.cwt(a, scales=sc, wavelet=jw.MorletWavelet(1.0, 1.0), sampling_rate=1e4)
+            return jnp.sum(jnp.real(r.coefficients), axis=-2)
+        dt = bench_op(run, sig, k=64)
+        print(json.dumps({"cwt_sweep": {"scales": s, "us": round(dt * 1e6, 1)}}))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--sweep" in sys.argv:
+        sweep()
+    else:
+        main()

@@ -171,6 +171,12 @@ def modwt(
     if method is ConvolutionMethod.PALLAS or (
         method is ConvolutionMethod.AUTO and _pallas_applicable(x, level)
     ):
+        if method is ConvolutionMethod.PALLAS and not _pallas_applicable(x, level):
+            raise JWaveFailure(
+                "modwt - ConvolutionMethod.PALLAS needs a TPU backend, float32/"
+                "bfloat16 input, lane-aligned length (N % 128 == 0) and a "
+                "VMEM-sized working set; use AUTO to fall back automatically"
+            )
         from ..ops.pallas_modwt import modwt_pallas
 
         lead = x.shape[:-1]
@@ -218,6 +224,12 @@ def imodwt(
     if method is ConvolutionMethod.PALLAS or (
         method is ConvolutionMethod.AUTO and _pallas_applicable(coeffs, level)
     ):
+        if method is ConvolutionMethod.PALLAS and not _pallas_applicable(coeffs, level):
+            raise JWaveFailure(
+                "imodwt - ConvolutionMethod.PALLAS needs a TPU backend, float32/"
+                "bfloat16 input, lane-aligned length (N % 128 == 0) and a "
+                "VMEM-sized working set; use AUTO to fall back automatically"
+            )
         from ..ops.pallas_modwt import imodwt_pallas
 
         lead = coeffs.shape[:-2]
