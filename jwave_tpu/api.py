@@ -218,6 +218,23 @@ class MODWTTransform(WaveletTransform):
             coeffs
         )
 
+    def forward_modwt_2d(self, mat, level: int):
+        """Separable 2D MODWT: (..., R, C) -> (..., J+1, J+1, R, C) subband
+        grid (capability superset; see transforms.modwt.modwt_2d)."""
+        from .transforms.modwt import modwt_2d
+
+        return self._jitted(("fm2", level), partial(modwt_2d, wavelet=self.wavelet, level=level, **self._kw()))(
+            jnp.asarray(mat)
+        )
+
+    def inverse_modwt_2d(self, coeffs):
+        from .transforms.modwt import imodwt_2d
+
+        coeffs = jnp.asarray(coeffs)
+        return self._jitted(("im2", coeffs.shape[-3]), partial(imodwt_2d, wavelet=self.wavelet, **self._kw()))(
+            coeffs
+        )
+
     def set_convolution_method(self, method: ConvolutionMethod):
         self.method = method
         self._jit_cache.clear()

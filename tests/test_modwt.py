@@ -147,3 +147,11 @@ def test_modwt_2d_separable(rng):
             np.testing.assert_allclose(c[jr, jc], colsc[:, jr, :].T, atol=1e-12)
     back = np.asarray(jw.imodwt_2d(jnp.asarray(c), "Haar"))
     np.testing.assert_allclose(back, m, atol=1e-10)
+
+
+def test_modwt_2d_facade(rng):
+    m = rng.standard_normal((16, 16))
+    t = jw.MODWTTransform("Haar")
+    c = t.forward_modwt_2d(m, 2)
+    assert np.asarray(c).shape == (3, 3, 16, 16)
+    np.testing.assert_allclose(np.asarray(t.inverse_modwt_2d(c)), m, atol=1e-8)
