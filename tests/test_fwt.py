@@ -130,3 +130,18 @@ def test_partial_level_inverse_battle23(rng):
         # Battle 23 is a truncated (non-orthogonal) filter: the round-trip is
         # approximate by construction, but must actually run the synthesis
         assert not np.allclose(back, np.asarray(y)), "inverse was a no-op"
+
+
+def test_fuzz_roundtrip_random_configs(rng):
+    """Randomized breadth: random (wavelet, length, level) triples must
+    round-trip (PropertyBasedTest.java seed-42 style)."""
+    names = [fb.name for fb in junit_passing_filters()]
+    for _ in range(25):
+        name = names[rng.integers(len(names))]
+        p = int(rng.integers(3, 10))
+        n = 1 << p
+        level = int(rng.integers(1, p + 1))
+        x = rng.standard_normal(n)
+        y = jw.fwt(jnp.asarray(x), name, level)
+        np.testing.assert_allclose(np.asarray(jw.ifwt(y, name, level)), x, atol=1e-6,
+                                   err_msg=f"{name} n={n} level={level}")

@@ -155,3 +155,23 @@ def test_modwt_2d_facade(rng):
     c = t.forward_modwt_2d(m, 2)
     assert np.asarray(c).shape == (3, 3, 16, 16)
     np.testing.assert_allclose(np.asarray(t.inverse_modwt_2d(c)), m, atol=1e-8)
+
+
+def test_thread_safety_stress(rng):
+    """MODWTThreadSafetyTest.java:23-91 analog: hammer one shared transform
+    object from a thread pool; results must match the single-thread answer
+    (the functional core is pure; the facade's jit cache is the only shared
+    state)."""
+    import concurrent.futures
+
+    t = jw.MODWTTransform("db4")
+    x = rng.standard_normal(256)
+    want = np.asarray(t.forward_modwt(jnp.asarray(x), 3))
+
+    def worker(_):
+        return np.asarray(t.forward_modwt(jnp.asarray(x), 3))
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(worker, range(32)))
+    for r in results:
+        np.testing.assert_array_equal(r, want)
