@@ -38,6 +38,7 @@ def fwt(x, wavelet, level: int | None = None):
     (FastWaveletTransform.java:71-101): ``level`` defaults to the maximum.
     """
     fb = get_filter(wavelet)
+    x = jnp.asarray(x)
     n = x.shape[-1]
     _check_pow2(n, "fwt")
     steps = exponent_of_two(n)
@@ -58,6 +59,7 @@ def fwt(x, wavelet, level: int | None = None):
 def ifwt(y, wavelet, level: int | None = None):
     """Inverse FWT along the last axis (FastWaveletTransform.java:119-153)."""
     fb = get_filter(wavelet)
+    y = jnp.asarray(y)
     n = y.shape[-1]
     _check_pow2(n, "ifwt")
     steps = exponent_of_two(n)
@@ -94,6 +96,7 @@ def fwt_decompose(x, wavelet):
     intermediate — the same O(N*M) total work as a single full transform.
     """
     fb = get_filter(wavelet)
+    x = jnp.asarray(x)
     n = x.shape[-1]
     _check_pow2(n, "fwt_decompose")
     steps = exponent_of_two(n)

@@ -163,10 +163,10 @@ def modwt(
     Returns (..., level+1, N): rows [W_1, ..., W_J, V_J]
     (MODWTTransform.java:256-306).
     """
+    x = ensure_float(jnp.asarray(x))
     n = x.shape[-1]
     _validate_level(n, level, "modwt")
 
-    x = ensure_float(x)
     # TPU-native path: fused VMEM-resident roll/FMA cascade (Pallas)
     if method is ConvolutionMethod.PALLAS or (
         method is ConvolutionMethod.AUTO and _pallas_applicable(x, level)
@@ -215,12 +215,12 @@ def imodwt(
     fft_threshold: int = DEFAULT_FFT_THRESHOLD,
 ):
     """Inverse MODWT from a (..., J+1, N) stack (MODWTTransform.java:337-375)."""
+    coeffs = ensure_float(jnp.asarray(coeffs))
     level = coeffs.shape[-2] - 1
     n = coeffs.shape[-1]
     if level < 1:
         raise JWaveFailure("imodwt - need at least level 1 (2 rows)")
 
-    coeffs = ensure_float(coeffs)
     if method is ConvolutionMethod.PALLAS or (
         method is ConvolutionMethod.AUTO and _pallas_applicable(coeffs, level)
     ):

@@ -17,6 +17,7 @@ from ..ops.butterfly import butterfly_forward, butterfly_reverse
 def shifting_forward(x, wavelet):
     """Forward SWT along the last axis (arbitrary length)."""
     fb = get_filter(wavelet)
+    x = jnp.asarray(x)
     n = x.shape[-1]
     lead = x.shape[:-1]
     odd_tail = x[..., n - 1:] if n % 2 == 1 else None
@@ -44,6 +45,7 @@ def shifting_reverse(y, wavelet):
     non-power-of-two lengths; for power-of-two lengths the two agree.)
     """
     fb = get_filter(wavelet)
+    y = jnp.asarray(y)
     n = y.shape[-1]
     lead = y.shape[:-1]
     odd_tail = y[..., n - 1:] if n % 2 == 1 else None

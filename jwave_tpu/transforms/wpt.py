@@ -48,7 +48,10 @@ def _chunk_schedule(n: int, level: int, fb) -> list[tuple[int, int]]:
 
 def wpt(x, wavelet, level: int | None = None, fused: bool = True):
     """Forward WPT along the last axis (length 2^p), batched over the rest."""
+    import jax.numpy as jnp
+
     fb = get_filter(wavelet)
+    x = jnp.asarray(x)
     n = x.shape[-1]
     if not is_power_of_two(n):
         raise JWaveFailure(f"wpt - length {n} is not 2^p; use AED for arbitrary lengths")
@@ -75,7 +78,10 @@ def wpt(x, wavelet, level: int | None = None, fused: bool = True):
 
 def iwpt(y, wavelet, level: int | None = None, fused: bool = True):
     """Inverse WPT along the last axis (WaveletPacketTransform.java:141-189)."""
+    import jax.numpy as jnp
+
     fb = get_filter(wavelet)
+    y = jnp.asarray(y)
     n = y.shape[-1]
     if not is_power_of_two(n):
         raise JWaveFailure(f"iwpt - length {n} is not 2^p; use AED for arbitrary lengths")
