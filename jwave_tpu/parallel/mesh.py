@@ -45,4 +45,6 @@ def initialize_distributed(coordinator_address: str | None = None,
         )
     except RuntimeError:
         pass  # already initialized
+    except ValueError:
+        pass  # single-process environment without auto-detectable cluster
     return jax.process_index(), jax.process_count()

@@ -166,3 +166,11 @@ def test_cwt_2d_mesh_validates(rng):
     mesh1d = make_mesh((8,), ("shard",))
     with pytest.raises(jw.JWaveFailure):
         cwt_batch_scale_sharded(jnp.zeros((8, 64)), [1.0, 2.0], "morlet", mesh1d)
+
+
+def test_initialize_distributed_single_process():
+    """Single-process call is a safe no-op returning (0, 1)."""
+    from jwave_tpu.parallel import initialize_distributed
+
+    idx, count = initialize_distributed()
+    assert idx == 0 and count == 1
