@@ -174,3 +174,14 @@ def test_initialize_distributed_single_process():
 
     idx, count = initialize_distributed()
     assert idx == 0 and count == 1
+
+
+def test_fwt_halo_sharded_wide_filter_tail(mesh, rng):
+    """db20 (40 taps) forces the tail path almost immediately (local chunk
+    must hold >= M samples); result still reassembles bit-exactly."""
+    from jwave_tpu.parallel import fwt_halo_sharded, gather_pyramid
+
+    x = rng.standard_normal(512)  # 64 per chip < 40*2 after one level
+    y = fwt_halo_sharded(jnp.asarray(x), "db20", mesh, 4)
+    glob = gather_pyramid(y, "db20", 4, 8)
+    np.testing.assert_array_equal(glob, np.asarray(jw.fwt(jnp.asarray(x), "db20", 4)))
