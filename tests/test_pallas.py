@@ -51,3 +51,12 @@ def test_pallas_modwt_odd_batch(rng):
     got = np.asarray(pm.modwt_pallas(x, "Haar", 2))
     want = np.asarray(jw.modwt(x, "Haar", 2, method=jw.ConvolutionMethod.DIRECT))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_modwt_non_pow2_lane_aligned(rng):
+    """MODWT supports arbitrary N; the Pallas cascade only needs lane
+    alignment (N % 128 == 0), not powers of two — rolls are mod-N."""
+    x = jnp.asarray(rng.standard_normal((8, 384)), dtype=jnp.float32)
+    got = np.asarray(pm.modwt_pallas(x, "db4", 3))
+    want = np.asarray(jw.modwt(x, "db4", 3, method=jw.ConvolutionMethod.DIRECT))
+    np.testing.assert_allclose(got, want, atol=1e-5)
