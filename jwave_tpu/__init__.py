@@ -78,6 +78,7 @@ from .transforms import (
     aed_forward,
     aed_reverse,
     cwt,
+    cwt_chunked,
     cwt_direct,
     icwt,
     fft,
@@ -116,7 +117,7 @@ __all__ = [
     "FilterBank", "get_filter", "available_filters", "junit_passing_filters",
     "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose", "fwt_split", "fwt_merge",
     "wpt", "iwpt", "modwt", "imodwt", "modwt_1d", "imodwt_1d", "modwt_2d", "imodwt_2d",
-    "ConvolutionMethod", "cwt", "cwt_direct", "icwt", "CWTResult", "PaddingType",
+    "ConvolutionMethod", "cwt", "cwt_chunked", "cwt_direct", "icwt", "CWTResult", "PaddingType",
     "generate_log_scales", "generate_linear_scales",
     "fft", "ifft", "aed_forward", "aed_reverse",
     "shifting_forward", "shifting_reverse",

@@ -251,15 +251,17 @@ class MODWTTransform(WaveletTransform):
 
 class DiscreteFourierTransform(BasicTransform):
     """Naive O(N^2) DFT on the interleaved real format
-    (DiscreteFourierTransform.java:73-117); complex input handled natively."""
+    (DiscreteFourierTransform.java:73-117); complex input handled natively
+    (incl. in the separable 2D/3D drivers — a superset, the reference has
+    no complex matrix overloads)."""
 
     name = "Discrete Fourier Transform"
 
     def _forward_core(self, x, level=None):
-        return dft_interleaved(x)
+        return dft(x) if jnp.iscomplexobj(x) else dft_interleaved(x)
 
     def _reverse_core(self, y, level=None):
-        return idft_interleaved(y)
+        return idft(y) if jnp.iscomplexobj(y) else idft_interleaved(y)
 
     def forward(self, x, level=None):
         x = jnp.asarray(x)
@@ -282,10 +284,10 @@ class FastFourierTransform(BasicTransform):
     name = "Fast Fourier Transform"
 
     def _forward_core(self, x, level=None):
-        return fft_interleaved(x)
+        return fft(x) if jnp.iscomplexobj(x) else fft_interleaved(x)
 
     def _reverse_core(self, y, level=None):
-        return ifft_interleaved(y)
+        return ifft(y) if jnp.iscomplexobj(y) else ifft_interleaved(y)
 
     def forward(self, x, level=None):
         x = jnp.asarray(x)

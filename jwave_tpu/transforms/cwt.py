@@ -257,3 +257,33 @@ def icwt(result: CWTResult, wavelet: ContinuousWavelet | str | None = None, reg:
     den_h = den + den[mirror]
     x_hat = num_h / (den_h + reg)
     return jnp.real(jnp.fft.ifft(x_hat, axis=-1))
+
+
+def cwt_chunked(
+    signal,
+    scales,
+    wavelet: ContinuousWavelet | str = "morlet",
+    sampling_rate: float = 1.0,
+    padding: PaddingType = PaddingType.SYMMETRIC,
+    scale_chunk: int = 64,
+) -> CWTResult:
+    """Memory-bounded CWT: scales processed in chunks of ``scale_chunk``.
+
+    The fused path materializes the full (scales, padded_len) complex grid;
+    for very large scale counts x long signals that can exceed HBM. This
+    host-side loop caps the live grid at scale_chunk rows (each chunk is the
+    same jitted kernel; the signal FFT is recomputed per chunk, which is
+    negligible next to the per-scale inverse FFTs).
+    """
+    import numpy as _np
+
+    scales = _np.atleast_1d(_np.asarray(scales, dtype=_np.float64))
+    parts = []
+    for start in range(0, scales.shape[0], scale_chunk):
+        res = cwt(signal, scales[start : start + scale_chunk], wavelet, sampling_rate, padding)
+        parts.append(res.coefficients)
+    coeffs = jnp.concatenate(parts, axis=-2)
+    wav = get_continuous_wavelet(wavelet)
+    n = signal.shape[-1]
+    time_axis = jnp.arange(n) / sampling_rate
+    return CWTResult(coeffs, jnp.asarray(scales), time_axis, float(sampling_rate), wav.name)

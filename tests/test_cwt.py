@@ -210,3 +210,14 @@ def test_icwt_default_wavelet_lookup():
     res = jw.cwt(sig, [2.0, 4.0, 8.0, 16.0], "morlet", 1.0, jw.PaddingType.PERIODIC)
     rec = np.asarray(jw.icwt(res))  # name-based lookup ("Morlet" -> defaults)
     assert rec.shape == sig.shape
+
+
+def test_cwt_chunked_matches_full(rng):
+    sig = rng.standard_normal(256)
+    scales = jw.generate_log_scales(1.0, 32.0, 10)
+    full = jw.cwt(jnp.asarray(sig), scales, "morlet", 2.0)
+    chunked = jw.cwt_chunked(jnp.asarray(sig), scales, "morlet", 2.0, scale_chunk=3)
+    np.testing.assert_allclose(
+        np.asarray(chunked.coefficients), np.asarray(full.coefficients), atol=1e-12
+    )
+    assert chunked.n_scales == 10

@@ -66,3 +66,15 @@ def test_facade_complex_and_interleaved(rng):
     np.testing.assert_allclose(np.asarray(t.reverse(t.forward(z))), z, atol=1e-9)
     d = jw.TransformBuilder.create("Discrete Fourier Transform")
     np.testing.assert_allclose(np.asarray(d.forward(z)), np.fft.fft(z), atol=1e-9)
+
+
+def test_facade_2d_complex_fft(rng):
+    """Complex matrices through the FFT facade = true separable 2D FFT
+    (superset — the reference has no Complex[][] overloads)."""
+    t = jw.TransformBuilder.create("Fast Fourier Transform")
+    z = rng.standard_normal((8, 16)) + 1j * rng.standard_normal((8, 16))
+    got = np.asarray(t.forward(z))
+    np.testing.assert_allclose(got, np.fft.fft2(z), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(t.reverse(t.forward(z))), z, atol=1e-9)
+    d = jw.TransformBuilder.create("Discrete Fourier Transform")
+    np.testing.assert_allclose(np.asarray(d.forward(z)), np.fft.fft2(z), atol=1e-9)
