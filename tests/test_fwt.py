@@ -1,5 +1,6 @@
 """FWT correctness: round-trips across the wavelet zoo, oracle parity,
 energy conservation, level-bounded transforms, batching."""
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -145,3 +146,30 @@ def test_fuzz_roundtrip_random_configs(rng):
         y = jw.fwt(jnp.asarray(x), name, level)
         np.testing.assert_allclose(np.asarray(jw.ifwt(y, name, level)), x, atol=1e-6,
                                    err_msg=f"{name} n={n} level={level}")
+
+
+@pytest.mark.parametrize("fb", junit_passing_filters(), ids=lambda f: f.name)
+def test_stepping_constant_signal(fb):
+    """SteppingTest.java:37-70: on [1,1,1,1] every JUnit wavelet gives
+    [sqrt2, sqrt2, 0, 0] at level 1 and [2, 0, 0, 0] at level 2, and each
+    level-bounded reverse returns the input."""
+    delta = 1e-8
+    x = np.ones(4)
+    s2 = np.sqrt(2.0)
+    expected = {0: [1, 1, 1, 1], 1: [s2, s2, 0, 0], 2: [2, 0, 0, 0]}
+    for lev, want in expected.items():
+        y = np.asarray(jw.fwt(jnp.asarray(x), fb.name, lev))
+        np.testing.assert_allclose(y, want, atol=delta)
+        np.testing.assert_allclose(np.asarray(jw.ifwt(jnp.asarray(y), fb.name, lev)), x, atol=delta)
+
+
+def test_rounding_error_accumulation(rng):
+    """RoundingTest.java analog: 100 repeated forward/reverse round trips
+    must not accumulate error beyond ~1e-10 (f64)."""
+    x = rng.standard_normal(64)
+    cur = jnp.asarray(x)
+    f = jax.jit(lambda a: jw.ifwt(jw.fwt(a, "Haar"), "Haar"))
+    for _ in range(100):
+        cur = f(cur)
+    assert float(np.max(np.abs(np.asarray(cur) - x))) < 1e-10
+
