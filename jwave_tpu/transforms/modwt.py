@@ -165,6 +165,10 @@ def modwt(
     """
     x = ensure_float(jnp.asarray(x))
     n = x.shape[-1]
+    if n == 0:
+        # reference returns the expected structure with empty rows
+        # (MODWTTransform.java:267-274)
+        return jnp.zeros(x.shape[:-1] + (level + 1, 0), dtype=x.dtype)
     _validate_level(n, level, "modwt")
 
     # TPU-native path: fused VMEM-resident roll/FMA cascade (Pallas)

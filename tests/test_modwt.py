@@ -175,3 +175,10 @@ def test_thread_safety_stress(rng):
         results = list(ex.map(worker, range(32)))
     for r in results:
         np.testing.assert_array_equal(r, want)
+
+
+def test_empty_input_parity():
+    """Reference returns the (level+1, 0) structure for empty input
+    (MODWTTransform.java:267-274) instead of raising."""
+    out = np.asarray(jw.modwt(jnp.zeros(0), "Haar", 3))
+    assert out.shape == (4, 0)
