@@ -8,7 +8,7 @@ from .fwt import fwt, ifwt, fwt_max_level, fwt_decompose, fwt_recompose, fwt_spl
 from .wpt import wpt, iwpt
 from .modwt import modwt, imodwt, modwt_1d, imodwt_1d, modwt_2d, imodwt_2d, ConvolutionMethod
 from .cwt import cwt, cwt_chunked, cwt_direct, icwt, CWTResult, generate_log_scales, generate_linear_scales, PaddingType
-from .fft import fft, ifft, dft, idft, fft_interleaved, ifft_interleaved
+from .fft import bluestein_fft, fft, ifft, dft, idft, fft_interleaved, ifft_interleaved
 from .aed import aed_forward, aed_reverse
 from .shifting import shifting_forward, shifting_reverse
 from .ndim import forward_2d, reverse_2d, forward_3d, reverse_3d, forward_complex, reverse_complex

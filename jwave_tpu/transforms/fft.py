@@ -20,13 +20,33 @@ import jax.numpy as jnp
 from .ndim import deinterleave, interleave
 
 
+def _needs_bluestein(n: int) -> bool:
+    """The axon/TPU backend only implements pow-2 complex FFT sizes."""
+    import jax
+
+    from ..utils.numerics import is_power_of_two
+
+    return jax.default_backend() in ("tpu", "axon") and not is_power_of_two(n)
+
+
 def fft(z, axis: int = -1):
-    """Forward FFT on complex input (forward unscaled — NumPy convention)."""
+    """Forward FFT on complex input (forward unscaled — NumPy convention).
+
+    Non-power-of-two lengths on TPU backends route through
+    :func:`bluestein_fft` (the backend lacks mixed-radix kernels)."""
+    z = jnp.asarray(z)
+    ax = axis if axis >= 0 else z.ndim + axis
+    if ax == z.ndim - 1 and _needs_bluestein(z.shape[-1]):
+        return bluestein_fft(z)
     return jnp.fft.fft(z, axis=axis)
 
 
 def ifft(z, axis: int = -1):
     """Inverse FFT on complex input (scaled by 1/N)."""
+    z = jnp.asarray(z)
+    ax = axis if axis >= 0 else z.ndim + axis
+    if ax == z.ndim - 1 and _needs_bluestein(z.shape[-1]):
+        return bluestein_fft(z, inverse=True)
     return jnp.fft.ifft(z, axis=axis)
 
 
@@ -39,6 +59,44 @@ def fft_interleaved(x):
 def ifft_interleaved(x):
     """Inverse of :func:`fft_interleaved`."""
     return interleave(ifft(deinterleave(x)))
+
+
+def _bluestein_consts(n: int):
+    """Host-side chirp constants for length-n Bluestein (chirp-z) DFT.
+
+    The reference implements Bluestein in Java for arbitrary-N FFTs
+    (FastFourierTransform.java:259-324). XLA's FFT covers arbitrary N on
+    CPU/GPU, but the axon TPU backend only implements power-of-two complex
+    transforms — so Bluestein earns its keep here after all: it reduces any
+    N to pow-2 complex FFTs.
+    """
+    from ..utils.numerics import next_power_of_two
+
+    idx = np.arange(n, dtype=np.float64)
+    c = np.exp(-1j * np.pi * (idx * idx % (2 * n)) / n)  # e^{-i pi n^2 / N}
+    l = next_power_of_two(2 * n - 1)
+    v = np.zeros(l, dtype=np.complex128)
+    chirp = np.conj(c)  # e^{+i pi m^2 / N}
+    v[:n] = chirp
+    v[l - n + 1 :] = chirp[1:][::-1]
+    return c, np.fft.fft(v), l
+
+
+def bluestein_fft(z, inverse: bool = False):
+    """Arbitrary-length DFT along the last axis via pow-2 complex FFTs."""
+    n = z.shape[-1]
+    c, v_hat, l = _bluestein_consts(n)
+    cdtype = jnp.complex128 if jnp.result_type(z) == jnp.complex128 else jnp.complex64
+    z = z.astype(cdtype)
+    cj = jnp.asarray(np.conj(c) if inverse else c, dtype=cdtype)
+    vh = jnp.asarray(np.conj(v_hat) if inverse else v_hat, dtype=cdtype)
+    u = z * cj
+    pad = [(0, 0)] * (z.ndim - 1) + [(0, l - n)]
+    conv = jnp.fft.ifft(jnp.fft.fft(jnp.pad(u, pad), axis=-1) * vh, axis=-1)[..., :n]
+    out = conv * cj
+    if inverse:
+        out = out / n
+    return out
 
 
 def _dft_matrix(n: int, sign: float) -> np.ndarray:

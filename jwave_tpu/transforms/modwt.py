@@ -113,6 +113,33 @@ def _pallas_applicable(x, level: int) -> bool:
 _spec = filter_spectrum  # shared wrap/pad + rfft semantics (ops.circular)
 
 
+def _use_complex_fft() -> bool:
+    """The axon/TPU backend implements complex C2C FFTs for arbitrary shapes
+    but leaves many R2C/C2R (rfft/irfft) shapes UNIMPLEMENTED; route the
+    MODWT FFT path through complex FFTs there (it is only the fallback for
+    non-lane-aligned lengths — the Pallas cascade covers aligned ones)."""
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _cascade_spectra_full(wavelet, level: int, n: int) -> np.ndarray:
+    """Full-spectrum (length-n) variant of :func:`_cascade_spectra`."""
+    filters = _level_filters(wavelet, level, n)
+
+    def full(f):
+        fp = np.pad(f, (0, n - f.shape[0])) if f.shape[0] < n else f
+        return np.fft.fft(fp)
+
+    out = np.empty((level + 1, n), dtype=np.complex128)
+    g_acc = np.ones(n, dtype=np.complex128)
+    for j, (gj, hj) in enumerate(filters):
+        out[j] = full(hj) * g_acc
+        g_acc = g_acc * full(gj)
+    out[level] = g_acc
+    return out
+
+
 def _cascade_spectra(wavelet, level: int, n: int) -> np.ndarray:
     """(J+1, n//2+1) complex128: frequency response of every output row.
 
@@ -192,6 +219,12 @@ def modwt(
     # mirroring the reference's AUTO rule (MODWTTransform.java:640-664)
     if _use_fft(method, n, _upsample_len(wavelet, level), fft_threshold):
         cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
+        if _use_complex_fft():
+            from .fft import fft as _cfft, ifft as _cifft
+
+            fil = jnp.asarray(_cascade_spectra_full(wavelet, level, n), dtype=cdtype)
+            spec = _cfft(x.astype(cdtype))
+            return jnp.real(_cifft(spec[..., None, :] * fil)).astype(x.dtype)
         fil = jnp.asarray(_cascade_spectra(wavelet, level, n), dtype=cdtype)  # (J+1, nf)
         spec = jnp.fft.rfft(x, axis=-1)
         return jnp.fft.irfft(spec[..., None, :] * fil, n=n, axis=-1).astype(x.dtype)
@@ -244,6 +277,13 @@ def imodwt(
     # conjugate-weighted sum, one irfft
     if _use_fft(method, n, _upsample_len(wavelet, level), fft_threshold):
         cdtype = jnp.complex128 if coeffs.dtype == jnp.float64 else jnp.complex64
+        if _use_complex_fft():
+            from .fft import fft as _cfft, ifft as _cifft
+
+            fil = jnp.asarray(np.conj(_cascade_spectra_full(wavelet, level, n)), dtype=cdtype)
+            spec = _cfft(coeffs.astype(cdtype))
+            v_hat = jnp.sum(spec * fil, axis=-2)
+            return jnp.real(_cifft(v_hat)).astype(coeffs.dtype)
         fil = jnp.asarray(np.conj(_cascade_spectra(wavelet, level, n)), dtype=cdtype)
         spec = jnp.fft.rfft(coeffs, axis=-1)  # (..., J+1, nf)
         v_hat = jnp.sum(spec * fil, axis=-2)

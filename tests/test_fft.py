@@ -78,3 +78,19 @@ def test_facade_2d_complex_fft(rng):
     np.testing.assert_allclose(np.asarray(t.reverse(t.forward(z))), z, atol=1e-9)
     d = jw.TransformBuilder.create("Discrete Fourier Transform")
     np.testing.assert_allclose(np.asarray(d.forward(z)), np.fft.fft2(z), atol=1e-9)
+
+
+def test_bluestein_matches_numpy(rng):
+    """Chirp-z DFT for arbitrary N (the axon TPU backend lacks mixed-radix
+    FFT kernels; Bluestein reduces any N to pow-2 complex FFTs — the same
+    algorithm the reference carries, FastFourierTransform.java:259-324)."""
+    from jwave_tpu.transforms.fft import bluestein_fft
+
+    for n in (7, 100, 777, 1024):
+        z = rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+        np.testing.assert_allclose(
+            np.asarray(bluestein_fft(jnp.asarray(z))), np.fft.fft(z, axis=-1), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(bluestein_fft(jnp.asarray(z), inverse=True)), np.fft.ifft(z, axis=-1), atol=1e-9
+        )
