@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..cwavelets import ContinuousWavelet, get_continuous_wavelet
+from .fft import fft as _fft_any, ifft as _ifft_any
 from ..utils.numerics import next_power_of_two
 
 
@@ -160,14 +161,14 @@ def cwt(
     n = signal.shape[-1]
     padded_len = next_power_of_two(n)
     padded = pad_signal(signal, padded_len, padding)
-    sig_fft = jnp.fft.fft(padded, axis=-1)  # (..., P)
+    sig_fft = _fft_any(padded)  # (..., P)
 
     omega = jnp.asarray(_omega_axis(padded_len, sampling_rate))  # (P,)
     a = jnp.asarray(scales)[:, None]  # (S, 1)
     # conj(F[psi_a])(w) = conj(sqrt(a) * psi_hat(a*w)) per scale
     w_hat = jnp.conj(wav.psi_hat_scaled(omega[None, :], a))  # (S, P)
     prod = sig_fft[..., None, :] * w_hat
-    res = jnp.fft.ifft(prod, axis=-1)[..., :n]  # (..., S, N)
+    res = _ifft_any(prod)[..., :n]  # (..., S, N)
 
     time_axis = jnp.arange(n) / sampling_rate
     return CWTResult(res, jnp.asarray(scales), time_axis, float(sampling_rate), wav.name)
@@ -246,7 +247,7 @@ def icwt(result: CWTResult, wavelet: ContinuousWavelet | str | None = None, reg:
     omega = jnp.asarray(_omega_axis(n, fs))
     a = jnp.asarray(result.scales)[:, None]
     w_hat = wav.psi_hat_scaled(omega[None, :], a)  # (S, N)
-    W = jnp.fft.fft(coeffs, axis=-1)
+    W = _fft_any(coeffs)
     num = jnp.sum(w_hat * W, axis=-2)
     den = jnp.sum(jnp.abs(w_hat) ** 2, axis=0)
     # analytic wavelets (Morlet, Paul) cover only positive frequencies; for a
@@ -256,7 +257,7 @@ def icwt(result: CWTResult, wavelet: ContinuousWavelet | str | None = None, reg:
     num_h = num + jnp.conj(num[..., mirror])
     den_h = den + den[mirror]
     x_hat = num_h / (den_h + reg)
-    return jnp.real(jnp.fft.ifft(x_hat, axis=-1))
+    return jnp.real(_ifft_any(x_hat))
 
 
 def cwt_chunked(

@@ -20,6 +20,29 @@ import jax.numpy as jnp
 from .ndim import deinterleave, interleave
 
 
+_EAGER_JIT_CACHE = {}
+
+
+def _eager_tpu(z) -> bool:
+    """True when called OUTSIDE jit on a TPU backend — where eager FFT
+    dispatch is UNIMPLEMENTED (axon executes eager ops as one-off programs
+    without FFT support). Such calls are routed through a cached jit."""
+    import jax
+    import jax.core
+
+    return not isinstance(z, jax.core.Tracer) and jax.default_backend() in ("tpu", "axon")
+
+
+def _run_fft(key, fn, z):
+    if _eager_tpu(z):
+        import jax
+
+        if key not in _EAGER_JIT_CACHE:
+            _EAGER_JIT_CACHE[key] = jax.jit(fn)
+        return _EAGER_JIT_CACHE[key](z)
+    return fn(z)
+
+
 def _needs_bluestein(n: int) -> bool:
     """The axon/TPU backend only implements pow-2 complex FFT sizes."""
     import jax
@@ -37,8 +60,8 @@ def fft(z, axis: int = -1):
     z = jnp.asarray(z)
     ax = axis if axis >= 0 else z.ndim + axis
     if ax == z.ndim - 1 and _needs_bluestein(z.shape[-1]):
-        return bluestein_fft(z)
-    return jnp.fft.fft(z, axis=axis)
+        return _run_fft(("bfft", ax), bluestein_fft, z)
+    return _run_fft(("fft", axis), lambda a: jnp.fft.fft(a, axis=axis), z)
 
 
 def ifft(z, axis: int = -1):
@@ -46,8 +69,8 @@ def ifft(z, axis: int = -1):
     z = jnp.asarray(z)
     ax = axis if axis >= 0 else z.ndim + axis
     if ax == z.ndim - 1 and _needs_bluestein(z.shape[-1]):
-        return bluestein_fft(z, inverse=True)
-    return jnp.fft.ifft(z, axis=axis)
+        return _run_fft(("bifft", ax), lambda a: bluestein_fft(a, inverse=True), z)
+    return _run_fft(("ifft", axis), lambda a: jnp.fft.ifft(a, axis=axis), z)
 
 
 def fft_interleaved(x):
