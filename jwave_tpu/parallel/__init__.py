@@ -10,9 +10,12 @@ Mesh over ICI/DCN with
   * 2D/3D separable FWT/WPT with an all_to_all distributed transpose
     (rows local -> transpose -> columns local), and
   * time-sharded MODWT with ppermute halo exchange of filter-support
-    boundary samples (compact-support analog of ring attention).
+    boundary samples (compact-support analog of ring attention), and
+  * a distributed four-step FFT (pfft) powering depth-unlimited
+    time-sharded MODWT whose working set never leaves N/D per chip.
 """
 from .mesh import make_mesh, initialize_distributed
+from .pfft import pfft, pifft
 from .sharded import (
     fwt_halo_sharded,
     gather_pyramid,
@@ -23,6 +26,8 @@ from .sharded import (
     ifwt2d_sharded,
     modwt_halo_sharded,
     imodwt_halo_sharded,
+    modwt_fft_sharded,
+    imodwt_fft_sharded,
     wpt2d_sharded,
     iwpt2d_sharded,
 )
@@ -41,4 +46,8 @@ __all__ = [
     "fwt_halo_sharded",
     "gather_pyramid",
     "imodwt_halo_sharded",
+    "modwt_fft_sharded",
+    "imodwt_fft_sharded",
+    "pfft",
+    "pifft",
 ]

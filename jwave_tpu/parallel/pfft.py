@@ -1,0 +1,168 @@
+"""Distributed 1D FFT over a device mesh (four-step / Bailey algorithm).
+
+The reference has no distributed execution at all (SURVEY.md §2.6); its FFT
+convolutions (MODWTTransform.java:752-786) are single-JVM. This module is
+the new TPU-native layer that lets FFT-convolution transforms run with the
+*time axis sharded across chips* — each chip holds only N/D samples, so
+signals larger than one chip's HBM become tractable, and every exchange is
+an XLA ``all_to_all`` riding ICI.
+
+Algorithm (N = D * L, device axis D, local length L, requiring D | L):
+
+  forward  x (contiguous-sharded) -> X in the "(D, L) spectrum layout"
+    1. reshuffle: one all_to_all converts contiguous chunks to the
+       stride-D decimated layout  A[d, j2] = x[d + D*j2]
+    2. local length-L FFT over j2          B[d, k2]
+    3. twiddle  C[d, k2] = B[d, k2] * exp(-2i*pi*d*k2/N)
+    4. transpose: one all_to_all so device i holds C[:, i-th k2 block]
+    5. local length-D FFT over the d axis  -> X[k2 + L*k1]
+
+  The result is the full spectrum *reshaped row-major to (D, L) and
+  column-sharded*: G[k1, k2] = X[k1*L + k2], device i holding k2 block i.
+  Because that is a plain reshape of the natural order, frequency-domain
+  filters precomputed on the host need only ``.reshape(D, L)`` to align —
+  no index permutation anywhere.
+
+  inverse reverses the five steps with conjugate twiddles and 1/N scaling.
+
+Cost per direction: two all_to_alls of N/D complex elements per chip plus
+O((N/D) log N) local FLOPs — the textbook lower bound for a transposed
+distributed FFT.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..exceptions import JWaveFailure
+
+
+def _check_geometry(n: int, n_dev: int, who: str):
+    if n % n_dev:
+        raise JWaveFailure(f"{who} - length {n} must divide over {n_dev} devices")
+    l = n // n_dev
+    if l % n_dev:
+        raise JWaveFailure(
+            f"{who} - needs local length divisible by the device count "
+            f"(N >= D^2 with D | L); got N={n}, D={n_dev}, L={l}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# local (inside-shard_map) pieces — reusable by other sharded transforms
+# ---------------------------------------------------------------------------
+
+def pfft_local(x_loc, axis_name: str):
+    """Forward four-step FFT body. ``x_loc``: (..., L) local contiguous chunk
+    of a length-N=D*L signal (real or complex). Returns the local (..., D,
+    L/D) block of the (D, L) spectrum layout (this device's k2 columns)."""
+    n_dev = lax.axis_size(axis_name)
+    l = x_loc.shape[-1]
+    n = n_dev * l
+    lead = x_loc.shape[:-1]
+    cdtype = jnp.complex128 if x_loc.dtype in (jnp.float64, jnp.complex128) else jnp.complex64
+    x_loc = x_loc.astype(cdtype)
+
+    # 1. contiguous -> stride-D decimated: local (L,) -> (L/D, D) -> (D, L/D),
+    #    exchange; received rows (ordered by source) concatenate to A[d, :].
+    m = jnp.swapaxes(x_loc.reshape(lead + (l // n_dev, n_dev)), -1, -2)
+    m = lax.all_to_all(m, axis_name, split_axis=m.ndim - 2, concat_axis=m.ndim - 2, tiled=True)
+    a = m.reshape(lead + (l,))  # A[d, j2] for d = this device
+
+    # 2. local length-L FFT
+    b = jnp.fft.fft(a, axis=-1)
+
+    # 3. twiddle exp(-2i pi d k2 / N)
+    d = lax.axis_index(axis_name)
+    k2 = jnp.arange(l)
+    tw = jnp.exp(jnp.asarray(-2j * np.pi / n, dtype=cdtype) * (d * k2).astype(cdtype))
+    c = b * tw
+
+    # 4. transpose so this device holds all d for its k2 block
+    t = c.reshape(lead + (n_dev, l // n_dev))
+    t = lax.all_to_all(t, axis_name, split_axis=t.ndim - 2, concat_axis=t.ndim - 2, tiled=True)
+
+    # 5. local length-D FFT over the source-device axis
+    return jnp.fft.fft(t, axis=-2)  # (..., D, L/D)
+
+
+def pifft_local(g_loc, axis_name: str):
+    """Inverse four-step FFT body. ``g_loc``: (..., D, L/D) local block of
+    the (D, L) spectrum layout. Returns the local (..., L) contiguous chunk
+    of the length-N time-domain signal (complex; take .real for real
+    signals)."""
+    n_dev = lax.axis_size(axis_name)
+    l = g_loc.shape[-1] * n_dev
+    n = n_dev * l
+    lead = g_loc.shape[:-2]
+
+    # 5'. local inverse FFT over k1
+    t = jnp.fft.ifft(g_loc, axis=-2)  # C[:, this k2 block]
+
+    # 4'. transpose back: device d reassembles C[d, :]
+    t = lax.all_to_all(t, axis_name, split_axis=t.ndim - 2, concat_axis=t.ndim - 2, tiled=True)
+    c = t.reshape(lead + (l,))
+
+    # 3'. conjugate twiddle
+    d = lax.axis_index(axis_name)
+    k2 = jnp.arange(l)
+    tw = jnp.exp(jnp.asarray(2j * np.pi / n, dtype=c.dtype) * (d * k2).astype(c.dtype))
+    b = c * tw
+
+    # 2'. local inverse length-L FFT
+    a = jnp.fft.ifft(b, axis=-1)  # A[d, j2] = x[d + D*j2]
+
+    # 1'. stride-D decimated -> contiguous
+    m = a.reshape(lead + (n_dev, l // n_dev))
+    m = lax.all_to_all(m, axis_name, split_axis=m.ndim - 2, concat_axis=m.ndim - 2, tiled=True)
+    return jnp.swapaxes(m, -1, -2).reshape(lead + (l,))
+
+
+# ---------------------------------------------------------------------------
+# public sharded entry points
+# ---------------------------------------------------------------------------
+
+def pfft(signal, mesh: Mesh, axis_name: str | None = None):
+    """Distributed FFT of a 1D length-N signal sharded over ``mesh``.
+
+    Returns the full spectrum as a global (D, N/D) array — the row-major
+    reshape of ``jnp.fft.fft(signal)`` — sharded over its *columns*
+    (``PartitionSpec(None, axis)``). Use ``.reshape(-1)`` on a gathered copy
+    to recover natural order, or feed it straight to :func:`pifft`.
+    """
+    axis_name = axis_name or mesh.axis_names[0]
+    n_dev = mesh.shape[axis_name]
+    signal = jnp.asarray(signal)
+    if signal.ndim != 1:
+        raise JWaveFailure("pfft - expects a 1D signal")
+    _check_geometry(signal.shape[-1], n_dev, "pfft")
+
+    mapped = shard_map(
+        lambda v: pfft_local(v, axis_name),
+        mesh=mesh, in_specs=P(axis_name), out_specs=P(None, axis_name),
+    )
+    return jax.jit(mapped)(signal)
+
+
+def pifft(spectrum, mesh: Mesh, axis_name: str | None = None):
+    """Inverse of :func:`pfft`: (D, N/D) column-sharded spectrum layout back
+    to the length-N time-domain signal (contiguous-sharded, complex)."""
+    axis_name = axis_name or mesh.axis_names[0]
+    n_dev = mesh.shape[axis_name]
+    spectrum = jnp.asarray(spectrum)
+    if spectrum.ndim != 2 or spectrum.shape[0] != n_dev:
+        raise JWaveFailure(f"pfft - expects a ({n_dev}, N/{n_dev}) spectrum layout")
+    _check_geometry(spectrum.shape[0] * spectrum.shape[1], n_dev, "pifft")
+
+    mapped = shard_map(
+        lambda g: pifft_local(g, axis_name),
+        mesh=mesh, in_specs=P(None, axis_name), out_specs=P(axis_name),
+    )
+    return jax.jit(mapped)(spectrum)

@@ -501,3 +501,96 @@ def cwt_batch_scale_sharded(
     coeffs = jax.jit(mapped)(jnp.asarray(signals), jnp.asarray(scales))
     time_axis = jnp.arange(n) / sampling_rate
     return CWTResult(coeffs, jnp.asarray(scales), time_axis, float(sampling_rate), wav.name)
+
+
+# --------------------------------------------------------------------------
+# MODWT: time axis sharded via the distributed four-step FFT (deep levels)
+# --------------------------------------------------------------------------
+
+def modwt_fft_sharded(signal, wavelet, level: int, mesh: Mesh, axis_name: str | None = None):
+    """Forward MODWT with the time axis sharded, any decomposition depth.
+
+    :func:`modwt_halo_sharded` requires the level-j filter support to fit in
+    one chip's chunk (halo <= N/D), which caps the depth at
+    J <~ log2(N/(D*M)). This variant has no such cap: the telescoped
+    frequency-domain cascade (transforms/modwt.py::_cascade_spectra) runs on
+    top of the distributed four-step FFT (parallel/pfft.py) — one forward
+    pFFT of the signal, J+1 purely local spectrum multiplies (the cascade
+    responses are trace-time constants pre-reshaped to the (D, L) spectrum
+    layout), and one batched inverse pFFT. Each chip only ever holds
+    O((J+1) * N/D) samples, so signals larger than a single chip's HBM stay
+    sharded end to end; all exchanges are ``all_to_all`` on ICI.
+
+    Returns the reference's (J+1, N) stack [W_1..W_J, V_J]
+    (MODWTTransform.java:256-306), time-sharded on the last axis.
+    """
+    from .pfft import pfft_local, pifft_local, _check_geometry
+    from ..transforms.modwt import _cascade_spectra_full
+
+    from ..ops.butterfly import ensure_float
+
+    axis_name = axis_name or mesh.axis_names[0]
+    n_dev = mesh.shape[axis_name]
+    signal = ensure_float(jnp.asarray(signal))
+    if signal.ndim != 1:
+        raise JWaveFailure("modwt_fft_sharded - expects a 1D signal (use batch_sharded for batches)")
+    n = signal.shape[-1]
+    _check_geometry(n, n_dev, "modwt_fft_sharded")
+    _validate_level(n, level, "modwt_fft_sharded")
+    cdtype = jnp.complex128 if signal.dtype == jnp.float64 else jnp.complex64
+    rdtype = signal.dtype
+    fil = jnp.asarray(
+        _cascade_spectra_full(wavelet, level, n).reshape(level + 1, n_dev, n // n_dev),
+        dtype=cdtype,
+    )
+
+    def _local(v, f):  # v: (L,), f: (J+1, D, L/D)
+        spec = pfft_local(v, axis_name)              # (D, L/D)
+        out = pifft_local(f * spec[None], axis_name)  # (J+1, L)
+        return jnp.real(out).astype(rdtype)
+
+    mapped = shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(axis_name), P(None, None, axis_name)),
+        out_specs=P(None, axis_name),
+    )
+    return jax.jit(mapped)(signal, fil)
+
+
+def imodwt_fft_sharded(coeffs, wavelet, mesh: Mesh, axis_name: str | None = None):
+    """Inverse of :func:`modwt_fft_sharded` from a time-sharded (J+1, N)
+    stack: batched forward pFFT of the rows, conjugate-weighted sum (the
+    telescoped adjoint, MODWTTransform.java:798-837), one inverse pFFT."""
+    from .pfft import pfft_local, pifft_local, _check_geometry
+    from ..transforms.modwt import _cascade_spectra_full
+
+    from ..ops.butterfly import ensure_float
+
+    axis_name = axis_name or mesh.axis_names[0]
+    n_dev = mesh.shape[axis_name]
+    coeffs = ensure_float(jnp.asarray(coeffs))
+    if coeffs.ndim != 2:
+        raise JWaveFailure("imodwt_fft_sharded - expects a (J+1, N) stack")
+    level = coeffs.shape[-2] - 1
+    n = coeffs.shape[-1]
+    if level < 1:
+        raise JWaveFailure("imodwt_fft_sharded - need at least level 1 (2 rows)")
+    _check_geometry(n, n_dev, "imodwt_fft_sharded")
+    cdtype = jnp.complex128 if coeffs.dtype == jnp.float64 else jnp.complex64
+    rdtype = coeffs.dtype
+    fil = jnp.asarray(
+        np.conj(_cascade_spectra_full(wavelet, level, n)).reshape(level + 1, n_dev, n // n_dev),
+        dtype=cdtype,
+    )
+
+    def _local(c, f):  # c: (J+1, L), f: (J+1, D, L/D)
+        spec = pfft_local(c, axis_name)               # (J+1, D, L/D)
+        v_hat = jnp.sum(spec * f, axis=0)             # (D, L/D)
+        return jnp.real(pifft_local(v_hat, axis_name)).astype(rdtype)
+
+    mapped = shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(None, axis_name), P(None, None, axis_name)),
+        out_specs=P(axis_name),
+    )
+    return jax.jit(mapped)(coeffs, fil)

@@ -185,3 +185,80 @@ def test_fwt_halo_sharded_wide_filter_tail(mesh, rng):
     y = fwt_halo_sharded(jnp.asarray(x), "db20", mesh, 4)
     glob = gather_pyramid(y, "db20", 4, 8)
     np.testing.assert_array_equal(glob, np.asarray(jw.fwt(jnp.asarray(x), "db20", 4)))
+
+
+# --------------------------------------------------------------------------
+# distributed four-step FFT + depth-unlimited sharded MODWT
+# --------------------------------------------------------------------------
+
+def test_pfft_matches_numpy(mesh, rng):
+    from jwave_tpu.parallel import pfft, pifft
+
+    for n in (64, 1536, 4096):
+        x = rng.standard_normal(n)
+        got = np.asarray(pfft(jnp.asarray(x), mesh))
+        want = np.fft.fft(x).reshape(8, -1)
+        np.testing.assert_allclose(got, want, atol=1e-9 * max(1.0, np.abs(want).max()))
+        back = np.asarray(pifft(jnp.asarray(got), mesh))
+        np.testing.assert_allclose(back.real, x, atol=1e-12)
+        np.testing.assert_allclose(back.imag, 0.0, atol=1e-12)
+
+
+def test_pfft_complex_input(mesh, rng):
+    from jwave_tpu.parallel import pfft
+
+    z = rng.standard_normal(512) + 1j * rng.standard_normal(512)
+    got = np.asarray(pfft(jnp.asarray(z), mesh))
+    np.testing.assert_allclose(got, np.fft.fft(z).reshape(8, -1), atol=1e-10)
+
+
+def test_pfft_geometry_validation(mesh):
+    from jwave_tpu.parallel import pfft
+
+    with pytest.raises(jw.JWaveFailure):
+        pfft(jnp.zeros(100), mesh)  # 100 % 8 != 0
+    with pytest.raises(jw.JWaveFailure):
+        pfft(jnp.zeros(24), mesh)  # L=3 not divisible by D
+
+
+def test_modwt_fft_sharded_matches_single(mesh, rng):
+    from jwave_tpu.parallel import modwt_fft_sharded
+
+    sig = rng.standard_normal(1024)
+    got = np.asarray(modwt_fft_sharded(jnp.asarray(sig), "db4", 4, mesh))
+    want = np.asarray(jw.modwt(jnp.asarray(sig), "db4", 4, method=jw.ConvolutionMethod.FFT))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_modwt_fft_sharded_deep_level_beyond_halo_cap(mesh, rng):
+    """Level 7 on N=1024 over 8 chips: db4's level-7 filter support is
+    449 > 128-sample local chunks, so the halo variant refuses — the
+    distributed-FFT variant must agree with the single-device transform."""
+    from jwave_tpu.parallel import modwt_fft_sharded, modwt_halo_sharded
+
+    sig = rng.standard_normal(1024)
+    with pytest.raises(jw.JWaveFailure):
+        modwt_halo_sharded(jnp.asarray(sig), "db4", 7, mesh)
+    got = np.asarray(modwt_fft_sharded(jnp.asarray(sig), "db4", 7, mesh))
+    want = np.asarray(jw.modwt(jnp.asarray(sig), "db4", 7, method=jw.ConvolutionMethod.FFT))
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_modwt_fft_sharded_roundtrip(mesh, rng):
+    from jwave_tpu.parallel import imodwt_fft_sharded, modwt_fft_sharded
+
+    sig = rng.standard_normal(1536)  # non-power-of-two, D | L holds (L=192)
+    coeffs = modwt_fft_sharded(jnp.asarray(sig), "sym8", 3, mesh)
+    back = np.asarray(imodwt_fft_sharded(coeffs, "sym8", mesh))
+    np.testing.assert_allclose(back, sig, atol=1e-9)
+
+
+def test_modwt_fft_sharded_stays_sharded(mesh):
+    """Output must be time-sharded (last axis), not replicated."""
+    from jwave_tpu.parallel import modwt_fft_sharded
+
+    sig = jnp.asarray(np.linspace(-1, 1, 1024))
+    coeffs = modwt_fft_sharded(sig, "haar", 5, mesh)
+    assert coeffs.shape == (6, 1024)
+    shard_shapes = {s.data.shape for s in coeffs.addressable_shards}
+    assert shard_shapes == {(6, 128)}
