@@ -59,6 +59,18 @@ def main():
         r = cwt_batch_scale_sharded(sigs, jw.generate_linear_scales(1.0, 8.0, 4), "morlet", mesh2d)
         print("batch x scale CWT:", r.coefficients.shape)
 
+    # 6. distributed four-step FFT: MODWT at depths the halo scheme can't
+    #    reach, and CWT whose signal never gets replicated — each chip only
+    #    ever holds N/D samples (for signals bigger than one chip's HBM)
+    from jwave_tpu.parallel import cwt_time_sharded, imodwt_fft_sharded, modwt_fft_sharded
+
+    xl = rng.standard_normal(256 * n_dev)
+    cd = modwt_fft_sharded(xl, "db8", 9, mesh)  # level-9 support >> N/D
+    err = float(np.abs(np.asarray(imodwt_fft_sharded(cd, "db8", mesh)) - xl).max())
+    print(f"distributed-FFT MODWT level 9: {np.asarray(cd).shape}, recon err {err:.2e}")
+    rt = cwt_time_sharded(xl, jw.generate_log_scales(1.0, 32.0, 8), "morlet", mesh)
+    print("time-sharded CWT:", rt.coefficients.shape)
+
 
 if __name__ == "__main__":
     main()

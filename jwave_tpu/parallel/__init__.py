@@ -22,6 +22,7 @@ from .sharded import (
     batch_sharded,
     cwt_batch_scale_sharded,
     cwt_scale_sharded,
+    cwt_time_sharded,
     fwt2d_sharded,
     ifwt2d_sharded,
     modwt_halo_sharded,
@@ -38,6 +39,7 @@ __all__ = [
     "batch_sharded",
     "cwt_scale_sharded",
     "cwt_batch_scale_sharded",
+    "cwt_time_sharded",
     "fwt2d_sharded",
     "ifwt2d_sharded",
     "wpt2d_sharded",

@@ -594,3 +594,75 @@ def imodwt_fft_sharded(coeffs, wavelet, mesh: Mesh, axis_name: str | None = None
         out_specs=P(axis_name),
     )
     return jax.jit(mapped)(coeffs, fil)
+
+
+def cwt_time_sharded(
+    signal,
+    scales,
+    wavelet,
+    mesh: Mesh,
+    sampling_rate: float = 1.0,
+    axis_name: str | None = None,
+) -> CWTResult:
+    """FFT-based CWT with the *time axis* sharded across the mesh.
+
+    :func:`cwt_scale_sharded` replicates the signal (and its FFT) on every
+    chip, so the signal itself must fit in one chip's HBM. This variant keeps
+    the signal time-sharded end to end via the distributed four-step FFT
+    (parallel/pfft.py): one forward pFFT, a purely local per-scale multiply
+    — the analytic conj(psi_hat(a*omega)) is evaluated *on each chip at its
+    own frequencies* of the (D, L) spectrum layout, derived from
+    ``axis_index`` — and one inverse pFFT batched over scales. Working set
+    per chip is O(S * N/D); communication is all_to_all on ICI.
+
+    Requires a power-of-two signal length (the fused single-chip path pads
+    nothing for such lengths, so results match it exactly; arbitrary-length
+    padding would force a resharding — use the single-chip path there).
+    Returns a CWTResult whose coefficients (S, N) are sharded on the time
+    axis.
+    """
+    from .pfft import pfft_local, pifft_local, _check_geometry
+    from ..ops.butterfly import ensure_float
+    from ..utils.numerics import is_power_of_two
+
+    axis_name = axis_name or mesh.axis_names[0]
+    n_dev = mesh.shape[axis_name]
+    wav = get_continuous_wavelet(wavelet)
+    scales = np.atleast_1d(np.asarray(scales, dtype=np.float64))
+    signal = ensure_float(jnp.asarray(signal))
+    if signal.ndim != 1:
+        raise JWaveFailure("cwt_time_sharded - expects a 1D signal (shard batches separately)")
+    n = signal.shape[-1]
+    if not is_power_of_two(n):
+        raise JWaveFailure(
+            f"cwt_time_sharded - length {n} must be a power of two (padding "
+            "would force a resharding; use cwt/cwt_scale_sharded instead)"
+        )
+    _check_geometry(n, n_dev, "cwt_time_sharded")
+    l = n // n_dev
+    fs = float(sampling_rate)
+    a_host = jnp.asarray(scales)
+
+    def _local(v, a):  # v: (L,), a: (S,)
+        spec = pfft_local(v, axis_name)  # (D, L/D) block of the (D, L) layout
+        # global frequency index of element [k1, k2_off] on this device:
+        # k = i*(L/D) + k2_off + L*k1  (pfft.py layout contract)
+        i = lax.axis_index(axis_name)
+        k1 = jnp.arange(n_dev)[:, None]
+        k2 = i * (l // n_dev) + jnp.arange(l // n_dev)[None, :]
+        k = k2 + l * k1  # (D, L/D)
+        fdtype = jnp.float64 if v.dtype == jnp.float64 else jnp.float32
+        omega = 2.0 * np.pi * fs / n * k.astype(fdtype)
+        omega = jnp.where(k > n // 2, omega - 2.0 * np.pi * fs, omega)
+        w_hat = jnp.conj(wav.psi_hat_scaled(omega[None], a[:, None, None]))  # (S, D, L/D)
+        prod = w_hat.astype(spec.dtype) * spec[None]
+        return pifft_local(prod, axis_name)  # (S, L)
+
+    mapped = shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(axis_name), P(None)),
+        out_specs=P(None, axis_name),
+    )
+    coeffs = jax.jit(mapped)(signal, a_host)
+    time_axis = jnp.arange(n) / fs
+    return CWTResult(coeffs, a_host, time_axis, fs, wav.name)

@@ -262,3 +262,25 @@ def test_modwt_fft_sharded_stays_sharded(mesh):
     assert coeffs.shape == (6, 1024)
     shard_shapes = {s.data.shape for s in coeffs.addressable_shards}
     assert shard_shapes == {(6, 128)}
+
+
+def test_cwt_time_sharded_matches_single(mesh, rng):
+    from jwave_tpu.parallel import cwt_time_sharded
+
+    sig = rng.standard_normal(1024)
+    scales = jw.generate_log_scales(2.0, 64.0, 6)
+    res_s = cwt_time_sharded(jnp.asarray(sig), scales, "morlet", mesh, 100.0)
+    res_1 = jw.cwt(jnp.asarray(sig), scales, "morlet", 100.0)
+    np.testing.assert_allclose(
+        np.asarray(res_s.coefficients), np.asarray(res_1.coefficients), atol=1e-10
+    )
+    # coefficients stay time-sharded: (S, N) with N/D columns per chip
+    shard_shapes = {s.data.shape for s in res_s.coefficients.addressable_shards}
+    assert shard_shapes == {(6, 128)}
+
+
+def test_cwt_time_sharded_validates(mesh):
+    from jwave_tpu.parallel import cwt_time_sharded
+
+    with pytest.raises(jw.JWaveFailure):
+        cwt_time_sharded(jnp.zeros(1000), [1.0], "morlet", mesh)  # not pow2
