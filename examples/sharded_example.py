@@ -64,12 +64,15 @@ def main():
     #    ever holds N/D samples (for signals bigger than one chip's HBM)
     from jwave_tpu.parallel import cwt_time_sharded, imodwt_fft_sharded, modwt_fft_sharded
 
-    xl = rng.standard_normal(256 * n_dev)
-    cd = modwt_fft_sharded(xl, "db8", 9, mesh)  # level-9 support >> N/D
-    err = float(np.abs(np.asarray(imodwt_fft_sharded(cd, "db8", mesh)) - xl).max())
-    print(f"distributed-FFT MODWT level 9: {np.asarray(cd).shape}, recon err {err:.2e}")
-    rt = cwt_time_sharded(xl, jw.generate_log_scales(1.0, 32.0, 8), "morlet", mesh)
-    print("time-sharded CWT:", rt.coefficients.shape)
+    n_sig = 256 * n_dev
+    if n_sig % (n_dev * n_dev) == 0 and n_sig.bit_length() - 1 >= 9:
+        xl = rng.standard_normal(n_sig)
+        cd = modwt_fft_sharded(xl, "db8", 9, mesh)  # level-9 support >> N/D
+        err = float(np.abs(np.asarray(imodwt_fft_sharded(cd, "db8", mesh)) - xl).max())
+        print(f"distributed-FFT MODWT level 9: {np.asarray(cd).shape}, recon err {err:.2e}")
+        if n_sig & (n_sig - 1) == 0:
+            rt = cwt_time_sharded(xl, jw.generate_log_scales(1.0, 32.0, 8), "morlet", mesh)
+            print("time-sharded CWT:", rt.coefficients.shape)
 
 
 if __name__ == "__main__":

@@ -53,6 +53,27 @@ def _check_geometry(n: int, n_dev: int, who: str):
             f"{who} - needs local length divisible by the device count "
             f"(N >= D^2 with D | L); got N={n}, D={n_dev}, L={l}"
         )
+    # twiddle/frequency index products reach N; without x64 they are int32
+    if not jax.config.jax_enable_x64 and n >= (1 << 31):
+        raise JWaveFailure(
+            f"{who} - length {n} overflows int32 frequency indices; enable "
+            "jax_enable_x64 for signals this large"
+        )
+
+
+def _cfft_axis(z, axis: int, inverse: bool = False):
+    """Backend-aware complex FFT along an arbitrary axis: non-power-of-two
+    lengths on TPU backends route through Bluestein (the backend lacks
+    mixed-radix complex kernels and a failed compile can wedge the device —
+    docs/TPU_BACKEND_NOTES.md; same policy as transforms/fft.py)."""
+    from ..transforms.fft import _needs_bluestein, bluestein_fft
+
+    if _needs_bluestein(z.shape[axis]):
+        if axis in (-1, z.ndim - 1):
+            return bluestein_fft(z, inverse=inverse)
+        zz = jnp.swapaxes(z, axis, -1)
+        return jnp.swapaxes(bluestein_fft(zz, inverse=inverse), axis, -1)
+    return (jnp.fft.ifft if inverse else jnp.fft.fft)(z, axis=axis)
 
 
 # ---------------------------------------------------------------------------
@@ -77,7 +98,7 @@ def pfft_local(x_loc, axis_name: str):
     a = m.reshape(lead + (l,))  # A[d, j2] for d = this device
 
     # 2. local length-L FFT
-    b = jnp.fft.fft(a, axis=-1)
+    b = _cfft_axis(a, axis=-1)
 
     # 3. twiddle exp(-2i pi d k2 / N)
     d = lax.axis_index(axis_name)
@@ -90,7 +111,7 @@ def pfft_local(x_loc, axis_name: str):
     t = lax.all_to_all(t, axis_name, split_axis=t.ndim - 2, concat_axis=t.ndim - 2, tiled=True)
 
     # 5. local length-D FFT over the source-device axis
-    return jnp.fft.fft(t, axis=-2)  # (..., D, L/D)
+    return _cfft_axis(t, axis=-2)  # (..., D, L/D)
 
 
 def pifft_local(g_loc, axis_name: str):
@@ -104,7 +125,7 @@ def pifft_local(g_loc, axis_name: str):
     lead = g_loc.shape[:-2]
 
     # 5'. local inverse FFT over k1
-    t = jnp.fft.ifft(g_loc, axis=-2)  # C[:, this k2 block]
+    t = _cfft_axis(g_loc, axis=-2, inverse=True)  # C[:, this k2 block]
 
     # 4'. transpose back: device d reassembles C[d, :]
     t = lax.all_to_all(t, axis_name, split_axis=t.ndim - 2, concat_axis=t.ndim - 2, tiled=True)
@@ -117,7 +138,7 @@ def pifft_local(g_loc, axis_name: str):
     b = c * tw
 
     # 2'. local inverse length-L FFT
-    a = jnp.fft.ifft(b, axis=-1)  # A[d, j2] = x[d + D*j2]
+    a = _cfft_axis(b, axis=-1, inverse=True)  # A[d, j2] = x[d + D*j2]
 
     # 1'. stride-D decimated -> contiguous
     m = a.reshape(lead + (n_dev, l // n_dev))
@@ -158,7 +179,7 @@ def pifft(spectrum, mesh: Mesh, axis_name: str | None = None):
     n_dev = mesh.shape[axis_name]
     spectrum = jnp.asarray(spectrum)
     if spectrum.ndim != 2 or spectrum.shape[0] != n_dev:
-        raise JWaveFailure(f"pfft - expects a ({n_dev}, N/{n_dev}) spectrum layout")
+        raise JWaveFailure(f"pifft - expects a ({n_dev}, N/{n_dev}) spectrum layout")
     _check_geometry(spectrum.shape[0] * spectrum.shape[1], n_dev, "pifft")
 
     mapped = shard_map(

@@ -507,6 +507,71 @@ def cwt_batch_scale_sharded(
 # MODWT: time axis sharded via the distributed four-step FFT (deep levels)
 # --------------------------------------------------------------------------
 
+def _check_doubling_bound(n: int, who: str):
+    """The on-device cascade evaluation doubles frequency indices mod N;
+    without x64 those are int32, so 2*t (t < N) must stay below 2^31."""
+    import jax as _jax
+
+    if not _jax.config.jax_enable_x64 and n > (1 << 30):
+        raise JWaveFailure(
+            f"{who} - length {n} overflows int32 index doubling; enable "
+            "jax_enable_x64 for signals this large"
+        )
+
+
+def _local_freq_bins(n: int, n_dev: int, axis_name: str):
+    """Global frequency index of each element of this device's (D, L/D)
+    block of the pfft (D, L) spectrum layout: k = i*(L/D) + off + L*k1
+    (parallel/pfft.py layout contract)."""
+    l = n // n_dev
+    i = lax.axis_index(axis_name)
+    k1 = jnp.arange(n_dev)[:, None]
+    k2 = i * (l // n_dev) + jnp.arange(l // n_dev)[None, :]
+    return k2 + l * k1  # (D, L/D)
+
+
+def _filter_dft_at(coeffs: np.ndarray, t, n: int, cdtype):
+    """DFT of an M-tap filter at phase indices ``t``: sum_m coeffs[m] *
+    exp(-2j*pi*((t*m) mod n)/n). The index is built by cumulative modular
+    addition, exact in integer arithmetic (no t*m overflow)."""
+    scale = -2.0 * np.pi / n
+    acc = jnp.full(t.shape, complex(coeffs[0]), dtype=cdtype)  # m=0: phase 0
+    u = jnp.zeros_like(t)
+    for m in range(1, coeffs.shape[0]):
+        u = u + t
+        u = jnp.where(u >= n, u - n, u)
+        acc = acc + complex(coeffs[m]) * jnp.exp(
+            jnp.asarray(1j * scale, dtype=cdtype) * u.astype(cdtype)
+        )
+    return acc
+
+
+def _cascade_responses_local(wavelet, level: int, n: int, k, cdtype):
+    """The telescoped cascade responses W_1..W_J, V_J
+    (transforms/modwt.py::_cascade_spectra) evaluated *on device* at global
+    frequency bins ``k`` — each chip computes only its own N/D bins, so no
+    length-N array ever exists on host or chip.
+
+    Identity: the length-N DFT of the level-j upsampled (implicitly
+    wrapped, MODWTTransform.java:729-741) filter at bin k equals the M-tap
+    base-filter DFT at index (2^(j-1) * k) mod N; the power is built by
+    modular doubling (exact in integers — see _check_doubling_bound).
+    """
+    from ..transforms.modwt import _modwt_base_filters
+
+    g0, h0 = _modwt_base_filters(wavelet)
+    t = k
+    g_acc = jnp.ones(k.shape, dtype=cdtype)
+    rows = []
+    for _ in range(level):
+        rows.append(_filter_dft_at(h0, t, n, cdtype) * g_acc)
+        g_acc = g_acc * _filter_dft_at(g0, t, n, cdtype)
+        t2 = t + t
+        t = jnp.where(t2 >= n, t2 - n, t2)
+    rows.append(g_acc)
+    return jnp.stack(rows)  # (J+1, *k.shape)
+
+
 def modwt_fft_sharded(signal, wavelet, level: int, mesh: Mesh, axis_name: str | None = None):
     """Forward MODWT with the time axis sharded, any decomposition depth.
 
@@ -515,17 +580,17 @@ def modwt_fft_sharded(signal, wavelet, level: int, mesh: Mesh, axis_name: str | 
     J <~ log2(N/(D*M)). This variant has no such cap: the telescoped
     frequency-domain cascade (transforms/modwt.py::_cascade_spectra) runs on
     top of the distributed four-step FFT (parallel/pfft.py) — one forward
-    pFFT of the signal, J+1 purely local spectrum multiplies (the cascade
-    responses are trace-time constants pre-reshaped to the (D, L) spectrum
-    layout), and one batched inverse pFFT. Each chip only ever holds
-    O((J+1) * N/D) samples, so signals larger than a single chip's HBM stay
-    sharded end to end; all exchanges are ``all_to_all`` on ICI.
+    pFFT of the signal, J+1 purely local spectrum multiplies against cascade
+    responses *evaluated on-device at each chip's own frequency bins*
+    (nothing of global length N is ever materialized, on host or chip), and
+    one batched inverse pFFT. Each chip only ever holds O((J+1) * N/D)
+    samples, so signals larger than a single chip's HBM stay sharded end to
+    end; all exchanges are ``all_to_all`` on ICI.
 
     Returns the reference's (J+1, N) stack [W_1..W_J, V_J]
     (MODWTTransform.java:256-306), time-sharded on the last axis.
     """
     from .pfft import pfft_local, pifft_local, _check_geometry
-    from ..transforms.modwt import _cascade_spectra_full
 
     from ..ops.butterfly import ensure_float
 
@@ -536,25 +601,19 @@ def modwt_fft_sharded(signal, wavelet, level: int, mesh: Mesh, axis_name: str | 
         raise JWaveFailure("modwt_fft_sharded - expects a 1D signal (use batch_sharded for batches)")
     n = signal.shape[-1]
     _check_geometry(n, n_dev, "modwt_fft_sharded")
+    _check_doubling_bound(n, "modwt_fft_sharded")
     _validate_level(n, level, "modwt_fft_sharded")
     cdtype = jnp.complex128 if signal.dtype == jnp.float64 else jnp.complex64
     rdtype = signal.dtype
-    fil = jnp.asarray(
-        _cascade_spectra_full(wavelet, level, n).reshape(level + 1, n_dev, n // n_dev),
-        dtype=cdtype,
-    )
 
-    def _local(v, f):  # v: (L,), f: (J+1, D, L/D)
-        spec = pfft_local(v, axis_name)              # (D, L/D)
-        out = pifft_local(f * spec[None], axis_name)  # (J+1, L)
+    def _local(v):  # v: (L,)
+        spec = pfft_local(v, axis_name)  # (D, L/D)
+        fil = _cascade_responses_local(wavelet, level, n, _local_freq_bins(n, n_dev, axis_name), cdtype)
+        out = pifft_local(fil * spec[None], axis_name)  # (J+1, L)
         return jnp.real(out).astype(rdtype)
 
-    mapped = shard_map(
-        _local, mesh=mesh,
-        in_specs=(P(axis_name), P(None, None, axis_name)),
-        out_specs=P(None, axis_name),
-    )
-    return jax.jit(mapped)(signal, fil)
+    mapped = shard_map(_local, mesh=mesh, in_specs=P(axis_name), out_specs=P(None, axis_name))
+    return jax.jit(mapped)(signal)
 
 
 def imodwt_fft_sharded(coeffs, wavelet, mesh: Mesh, axis_name: str | None = None):
@@ -562,7 +621,6 @@ def imodwt_fft_sharded(coeffs, wavelet, mesh: Mesh, axis_name: str | None = None
     stack: batched forward pFFT of the rows, conjugate-weighted sum (the
     telescoped adjoint, MODWTTransform.java:798-837), one inverse pFFT."""
     from .pfft import pfft_local, pifft_local, _check_geometry
-    from ..transforms.modwt import _cascade_spectra_full
 
     from ..ops.butterfly import ensure_float
 
@@ -576,24 +634,18 @@ def imodwt_fft_sharded(coeffs, wavelet, mesh: Mesh, axis_name: str | None = None
     if level < 1:
         raise JWaveFailure("imodwt_fft_sharded - need at least level 1 (2 rows)")
     _check_geometry(n, n_dev, "imodwt_fft_sharded")
+    _check_doubling_bound(n, "imodwt_fft_sharded")
     cdtype = jnp.complex128 if coeffs.dtype == jnp.float64 else jnp.complex64
     rdtype = coeffs.dtype
-    fil = jnp.asarray(
-        np.conj(_cascade_spectra_full(wavelet, level, n)).reshape(level + 1, n_dev, n // n_dev),
-        dtype=cdtype,
-    )
 
-    def _local(c, f):  # c: (J+1, L), f: (J+1, D, L/D)
-        spec = pfft_local(c, axis_name)               # (J+1, D, L/D)
-        v_hat = jnp.sum(spec * f, axis=0)             # (D, L/D)
+    def _local(c):  # c: (J+1, L)
+        spec = pfft_local(c, axis_name)  # (J+1, D, L/D)
+        fil = _cascade_responses_local(wavelet, level, n, _local_freq_bins(n, n_dev, axis_name), cdtype)
+        v_hat = jnp.sum(spec * jnp.conj(fil), axis=0)  # (D, L/D)
         return jnp.real(pifft_local(v_hat, axis_name)).astype(rdtype)
 
-    mapped = shard_map(
-        _local, mesh=mesh,
-        in_specs=(P(None, axis_name), P(None, None, axis_name)),
-        out_specs=P(axis_name),
-    )
-    return jax.jit(mapped)(coeffs, fil)
+    mapped = shard_map(_local, mesh=mesh, in_specs=P(None, axis_name), out_specs=P(axis_name))
+    return jax.jit(mapped)(coeffs)
 
 
 def cwt_time_sharded(
@@ -639,18 +691,12 @@ def cwt_time_sharded(
             "would force a resharding; use cwt/cwt_scale_sharded instead)"
         )
     _check_geometry(n, n_dev, "cwt_time_sharded")
-    l = n // n_dev
     fs = float(sampling_rate)
     a_host = jnp.asarray(scales)
 
     def _local(v, a):  # v: (L,), a: (S,)
         spec = pfft_local(v, axis_name)  # (D, L/D) block of the (D, L) layout
-        # global frequency index of element [k1, k2_off] on this device:
-        # k = i*(L/D) + k2_off + L*k1  (pfft.py layout contract)
-        i = lax.axis_index(axis_name)
-        k1 = jnp.arange(n_dev)[:, None]
-        k2 = i * (l // n_dev) + jnp.arange(l // n_dev)[None, :]
-        k = k2 + l * k1  # (D, L/D)
+        k = _local_freq_bins(n, n_dev, axis_name)
         fdtype = jnp.float64 if v.dtype == jnp.float64 else jnp.float32
         omega = 2.0 * np.pi * fs / n * k.astype(fdtype)
         omega = jnp.where(k > n // 2, omega - 2.0 * np.pi * fs, omega)

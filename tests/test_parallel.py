@@ -284,3 +284,18 @@ def test_cwt_time_sharded_validates(mesh):
 
     with pytest.raises(jw.JWaveFailure):
         cwt_time_sharded(jnp.zeros(1000), [1.0], "morlet", mesh)  # not pow2
+
+
+def test_cascade_responses_device_eval_matches_host_fft(mesh):
+    """The on-device modular-doubling evaluation of the cascade responses
+    must equal the host-side FFT-built spectra (transforms/modwt.py) for
+    every bin — including non-power-of-two N where level filters wrap."""
+    import jax.numpy as jnp2
+    from jwave_tpu.parallel.sharded import _cascade_responses_local
+    from jwave_tpu.transforms.modwt import _cascade_spectra_full
+
+    for wav, n, level in [("db4", 96, 5), ("haar", 64, 6), ("sym8", 1536, 4)]:
+        k = jnp2.arange(n)
+        got = np.asarray(_cascade_responses_local(wav, level, n, k, jnp2.complex128))
+        want = _cascade_spectra_full(wav, level, n)
+        np.testing.assert_allclose(got, want, atol=1e-10)
