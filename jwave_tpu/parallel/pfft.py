@@ -91,6 +91,12 @@ def pfft_local(x_loc, axis_name: str):
     cdtype = jnp.complex128 if x_loc.dtype in (jnp.float64, jnp.complex128) else jnp.complex64
     x_loc = x_loc.astype(cdtype)
 
+    if n_dev == 1:
+        # degenerate mesh: the (1, L) layout is the plain spectrum — skip the
+        # collectives and the length-1 device-axis FFT (UNIMPLEMENTED on the
+        # axon/TPU backend)
+        return _cfft_axis(x_loc, axis=-1)[..., None, :]
+
     # 1. contiguous -> stride-D decimated: local (L,) -> (L/D, D) -> (D, L/D),
     #    exchange; received rows (ordered by source) concatenate to A[d, :].
     m = jnp.swapaxes(x_loc.reshape(lead + (l // n_dev, n_dev)), -1, -2)
@@ -123,6 +129,9 @@ def pifft_local(g_loc, axis_name: str):
     l = g_loc.shape[-1] * n_dev
     n = n_dev * l
     lead = g_loc.shape[:-2]
+
+    if n_dev == 1:
+        return _cfft_axis(g_loc[..., 0, :], axis=-1, inverse=True)
 
     # 5'. local inverse FFT over k1
     t = _cfft_axis(g_loc, axis=-2, inverse=True)  # C[:, this k2 block]

@@ -299,3 +299,18 @@ def test_cascade_responses_device_eval_matches_host_fft(mesh):
         got = np.asarray(_cascade_responses_local(wav, level, n, k, jnp2.complex128))
         want = _cascade_spectra_full(wav, level, n)
         np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_pfft_single_device_mesh(rng):
+    """D=1 degenerates to a plain FFT (no collectives, no length-1
+    device-axis FFT — the latter is UNIMPLEMENTED on the axon backend)."""
+    from jwave_tpu.parallel import make_mesh, modwt_fft_sharded, pfft, pifft
+
+    mesh1 = make_mesh((1,), ("t",))
+    x = rng.standard_normal(256)
+    spec = np.asarray(pfft(jnp.asarray(x), mesh1))
+    np.testing.assert_allclose(spec, np.fft.fft(x).reshape(1, -1), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(pifft(jnp.asarray(spec), mesh1)).real, x, atol=1e-12)
+    got = np.asarray(modwt_fft_sharded(jnp.asarray(x), "db4", 5, mesh1))
+    want = np.asarray(jw.modwt(jnp.asarray(x), "db4", 5, method=jw.ConvolutionMethod.FFT))
+    np.testing.assert_allclose(got, want, atol=1e-10)
