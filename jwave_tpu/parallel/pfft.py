@@ -159,6 +159,30 @@ def pifft_local(g_loc, axis_name: str):
 # public sharded entry points
 # ---------------------------------------------------------------------------
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_pfft(mesh: Mesh, axis_name: str):
+    """One jitted shard_map per (mesh, axis) — a fresh closure per call
+    would retrace+recompile every invocation (20-40 s each on the TPU
+    relay). jit's own cache handles varying shapes/dtypes under it."""
+    mapped = shard_map(
+        lambda v: pfft_local(v, axis_name),
+        mesh=mesh, in_specs=P(axis_name), out_specs=P(None, axis_name),
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_pifft(mesh: Mesh, axis_name: str):
+    mapped = shard_map(
+        lambda g: pifft_local(g, axis_name),
+        mesh=mesh, in_specs=P(None, axis_name), out_specs=P(axis_name),
+    )
+    return jax.jit(mapped)
+
+
 def pfft(signal, mesh: Mesh, axis_name: str | None = None):
     """Distributed FFT of a 1D length-N signal sharded over ``mesh``.
 
@@ -174,11 +198,7 @@ def pfft(signal, mesh: Mesh, axis_name: str | None = None):
         raise JWaveFailure("pfft - expects a 1D signal")
     _check_geometry(signal.shape[-1], n_dev, "pfft")
 
-    mapped = shard_map(
-        lambda v: pfft_local(v, axis_name),
-        mesh=mesh, in_specs=P(axis_name), out_specs=P(None, axis_name),
-    )
-    return jax.jit(mapped)(signal)
+    return _cached_pfft(mesh, axis_name)(signal)
 
 
 def pifft(spectrum, mesh: Mesh, axis_name: str | None = None):
@@ -191,8 +211,4 @@ def pifft(spectrum, mesh: Mesh, axis_name: str | None = None):
         raise JWaveFailure(f"pifft - expects a ({n_dev}, N/{n_dev}) spectrum layout")
     _check_geometry(spectrum.shape[0] * spectrum.shape[1], n_dev, "pifft")
 
-    mapped = shard_map(
-        lambda g: pifft_local(g, axis_name),
-        mesh=mesh, in_specs=P(None, axis_name), out_specs=P(axis_name),
-    )
-    return jax.jit(mapped)(spectrum)
+    return _cached_pifft(mesh, axis_name)(spectrum)

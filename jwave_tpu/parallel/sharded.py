@@ -37,6 +37,32 @@ from ..utils.numerics import next_power_of_two
 
 
 # --------------------------------------------------------------------------
+# jit cache: one compiled shard_map program per configuration
+# --------------------------------------------------------------------------
+# Building a fresh shard_map closure + jax.jit wrapper on every call forces a
+# retrace/recompile each invocation (20-40 s per program over the TPU relay).
+# Every sharded entry point below therefore builds its jitted program once
+# per hashable configuration key and reuses it.
+
+_SHARDED_JIT_CACHE: dict = {}
+
+
+def _get_or_build(key, builder):
+    fn = _SHARDED_JIT_CACHE.get(key)
+    if fn is None:
+        fn = _SHARDED_JIT_CACHE[key] = builder()
+    return fn
+
+
+def _wav_key(wav):
+    """Hashable value-key for a continuous wavelet instance (name alone is
+    not enough: Morlet(fb,fc)/Paul(m)/DOG(n,sigma) carry parameters)."""
+    return (type(wav).__name__,) + tuple(
+        sorted((k, v) for k, v in vars(wav).items() if isinstance(v, (int, float, str)))
+    )
+
+
+# --------------------------------------------------------------------------
 # batch sharding (pure data parallelism)
 # --------------------------------------------------------------------------
 
@@ -86,26 +112,34 @@ def cwt_scale_sharded(
         )
     n = signal.shape[-1]
     padded_len = next_power_of_two(n)
-    omega = jnp.asarray(_omega_axis(padded_len, sampling_rate))
     lead = signal.ndim - 1
+    fs = float(sampling_rate)
 
-    def _local(sig_fft, scales_loc):
-        a = scales_loc[:, None]
-        w_hat = jnp.conj(wav.psi_hat_scaled(omega[None, :], a))
-        return jnp.fft.ifft(sig_fft[..., None, :] * w_hat, axis=-1)[..., :n]
+    def _build():
+        omega = jnp.asarray(_omega_axis(padded_len, fs))
 
-    out_spec = P(*([None] * lead), axis_name, None)
-    mapped = shard_map(
-        _local, mesh=mesh,
-        in_specs=(P(), P(axis_name)),
-        out_specs=out_spec,
+        def _local(sig_fft, scales_loc):
+            a = scales_loc[:, None]
+            w_hat = jnp.conj(wav.psi_hat_scaled(omega[None, :], a))
+            return jnp.fft.ifft(sig_fft[..., None, :] * w_hat, axis=-1)[..., :n]
+
+        out_spec = P(*([None] * lead), axis_name, None)
+        mapped = shard_map(
+            _local, mesh=mesh,
+            in_specs=(P(), P(axis_name)),
+            out_specs=out_spec,
+        )
+
+        @jax.jit
+        def run(sig, sc):
+            sig_fft = jnp.fft.fft(pad_signal(sig, padded_len, padding), axis=-1)
+            return mapped(sig_fft, sc)
+
+        return run
+
+    run = _get_or_build(
+        ("cwt_scale", mesh, axis_name, _wav_key(wav), n, lead, fs, padding), _build
     )
-
-    @jax.jit
-    def run(sig, sc):
-        sig_fft = jnp.fft.fft(pad_signal(sig, padded_len, padding), axis=-1)
-        return mapped(sig_fft, sc)
-
     coeffs = run(jnp.asarray(signal), jnp.asarray(scales))
     time_axis = jnp.arange(n) / sampling_rate
     return CWTResult(coeffs, jnp.asarray(scales), time_axis, float(sampling_rate), wav.name)
@@ -251,6 +285,8 @@ def modwt_halo_sharded(signal, wavelet, level: int, mesh: Mesh, axis_name: str |
     if n % n_dev:
         raise JWaveFailure(f"modwt_halo_sharded - length {n} must divide over {n_dev} devices")
     _validate_level(n, level, "modwt_halo_sharded")
+    from ..filters import get_filter
+
     n_loc = n // n_dev
     filters = _level_filters(wavelet, level, n)
     for gj, hj in filters:
@@ -260,23 +296,30 @@ def modwt_halo_sharded(signal, wavelet, level: int, mesh: Mesh, axis_name: str |
                 f"chunk {n_loc}; lower the level or use fewer devices"
             )
 
-    def _local(v):  # v: (n_loc,)
-        rows = []
-        for gj, hj in filters:
-            lg = gj.shape[0]
-            halo = lg - 1
-            if halo > 0:
-                ext = jnp.concatenate([_halo_left(v, halo, axis_name, n_dev), v])
-            else:
-                ext = v
-            w = _conv_valid_1d(ext, np.ascontiguousarray(hj[::-1]))
-            v = _conv_valid_1d(ext, np.ascontiguousarray(gj[::-1]))
-            rows.append(w)
-        rows.append(v)
-        return jnp.stack(rows)  # (J+1, n_loc)
+    def _build():
+        def _local(v):  # v: (n_loc,)
+            vv = v
+            rows = []
+            for gj, hj in filters:
+                lg = gj.shape[0]
+                halo = lg - 1
+                if halo > 0:
+                    ext = jnp.concatenate([_halo_left(vv, halo, axis_name, n_dev), vv])
+                else:
+                    ext = vv
+                w = _conv_valid_1d(ext, np.ascontiguousarray(hj[::-1]))
+                vv = _conv_valid_1d(ext, np.ascontiguousarray(gj[::-1]))
+                rows.append(w)
+            rows.append(vv)
+            return jnp.stack(rows)  # (J+1, n_loc)
 
-    mapped = shard_map(_local, mesh=mesh, in_specs=P(axis_name), out_specs=P(None, axis_name))
-    return jax.jit(mapped)(jnp.asarray(signal))
+        mapped = shard_map(_local, mesh=mesh, in_specs=P(axis_name), out_specs=P(None, axis_name))
+        return jax.jit(mapped)
+
+    run = _get_or_build(
+        ("modwt_halo", mesh, axis_name, get_filter(wavelet).name, level, n), _build
+    )
+    return run(jnp.asarray(signal))
 
 
 def imodwt_halo_sharded(coeffs, wavelet, mesh: Mesh, axis_name: str | None = None):
@@ -291,6 +334,8 @@ def imodwt_halo_sharded(coeffs, wavelet, mesh: Mesh, axis_name: str | None = Non
     n = coeffs.shape[-1]
     if n % n_dev:
         raise JWaveFailure(f"imodwt_halo_sharded - length {n} must divide over {n_dev} devices")
+    from ..filters import get_filter
+
     n_loc = n // n_dev
     filters = _level_filters(wavelet, level, n)
     for gj, _ in filters:
@@ -299,22 +344,28 @@ def imodwt_halo_sharded(coeffs, wavelet, mesh: Mesh, axis_name: str | None = Non
                 f"imodwt_halo_sharded - level filter support {gj.shape[0]} exceeds local chunk {n_loc}"
             )
 
-    def _local(c):  # c: (J+1, n_loc)
-        v = c[level]
-        for j in range(level, 0, -1):
-            gj, hj = filters[j - 1]
-            halo = gj.shape[0] - 1
-            w = c[j - 1]
-            if halo > 0:
-                ev = jnp.concatenate([v, _halo_right(v, halo, axis_name, n_dev)])
-                ew = jnp.concatenate([w, _halo_right(w, halo, axis_name, n_dev)])
-            else:
-                ev, ew = v, w
-            v = _conv_valid_1d(ev, gj) + _conv_valid_1d(ew, hj)
-        return v
+    def _build():
+        def _local(c):  # c: (J+1, n_loc)
+            v = c[level]
+            for j in range(level, 0, -1):
+                gj, hj = filters[j - 1]
+                halo = gj.shape[0] - 1
+                w = c[j - 1]
+                if halo > 0:
+                    ev = jnp.concatenate([v, _halo_right(v, halo, axis_name, n_dev)])
+                    ew = jnp.concatenate([w, _halo_right(w, halo, axis_name, n_dev)])
+                else:
+                    ev, ew = v, w
+                v = _conv_valid_1d(ev, gj) + _conv_valid_1d(ew, hj)
+            return v
 
-    mapped = shard_map(_local, mesh=mesh, in_specs=P(None, axis_name), out_specs=P(axis_name))
-    return jax.jit(mapped)(jnp.asarray(coeffs))
+        mapped = shard_map(_local, mesh=mesh, in_specs=P(None, axis_name), out_specs=P(axis_name))
+        return jax.jit(mapped)
+
+    run = _get_or_build(
+        ("imodwt_halo", mesh, axis_name, get_filter(wavelet).name, level, n), _build
+    )
+    return run(jnp.asarray(coeffs))
 
 
 # --------------------------------------------------------------------------
@@ -391,26 +442,30 @@ def fwt_halo_sharded(signal, wavelet, mesh: Mesh, level: int | None = None, axis
         tail_levels += 1
         h >>= 1
 
-    def _local(v):  # v: (n_loc,) local chunk
-        details = []
-        for _ in range(sharded_levels):
-            v, d = _butterfly_halo(v, fb.dec_lo, fb.dec_hi, axis_name, n_dev)
-            details.append(d)
-        if tail_levels:
-            # gather the tiny remaining prefix and finish on every chip
-            full = lax.all_gather(v, axis_name, axis=0, tiled=True)
-            from ..transforms.fwt import fwt as fwt_1d
+    def _build():
+        def _local(v):  # v: (n_loc,) local chunk
+            details = []
+            for _ in range(sharded_levels):
+                v, d = _butterfly_halo(v, fb.dec_lo, fb.dec_hi, axis_name, n_dev)
+                details.append(d)
+            if tail_levels:
+                # gather the tiny remaining prefix and finish on every chip
+                full = lax.all_gather(v, axis_name, axis=0, tiled=True)
+                from ..transforms.fwt import fwt as fwt_1d
 
-            full = fwt_1d(full, fb, tail_levels)
-            h_rem = full.shape[-1]
-            loc = h_rem // n_dev
-            idx = lax.axis_index(axis_name)
-            v = lax.dynamic_slice_in_dim(full, idx * loc, loc, axis=0)
-        # local layout: [D_1^c | D_2^c | ... | tail] (finest detail first)
-        return jnp.concatenate(details + [v]) if details else v
+                full = fwt_1d(full, fb, tail_levels)
+                h_rem = full.shape[-1]
+                loc = h_rem // n_dev
+                idx = lax.axis_index(axis_name)
+                v = lax.dynamic_slice_in_dim(full, idx * loc, loc, axis=0)
+            # local layout: [D_1^c | D_2^c | ... | tail] (finest detail first)
+            return jnp.concatenate(details + [v]) if details else v
 
-    mapped = shard_map(_local, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name))
-    return jax.jit(mapped)(jnp.asarray(signal))
+        mapped = shard_map(_local, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name))
+        return jax.jit(mapped)
+
+    run = _get_or_build(("fwt_halo", mesh, axis_name, fb.name, n, level), _build)
+    return run(jnp.asarray(signal))
 
 
 def gather_pyramid(dist, wavelet, level: int, n_dev: int):
@@ -485,22 +540,31 @@ def cwt_batch_scale_sharded(
         )
     n = signals.shape[-1]
     padded_len = next_power_of_two(n)
-    omega = jnp.asarray(_omega_axis(padded_len, sampling_rate))
+    fs = float(sampling_rate)
 
-    def _local(sig_block, scales_loc):  # (B/nb, N), (S/ns,)
-        sig_fft = jnp.fft.fft(pad_signal(sig_block, padded_len, padding), axis=-1)
-        a = scales_loc[:, None]
-        w_hat = jnp.conj(wav.psi_hat_scaled(omega[None, :], a))
-        return jnp.fft.ifft(sig_fft[:, None, :] * w_hat[None, :, :], axis=-1)[..., :n]
+    def _build():
+        omega = jnp.asarray(_omega_axis(padded_len, fs))
 
-    mapped = shard_map(
-        _local, mesh=mesh,
-        in_specs=(P(batch_axis, None), P(scale_axis)),
-        out_specs=P(batch_axis, scale_axis, None),
+        def _local(sig_block, scales_loc):  # (B/nb, N), (S/ns,)
+            sig_fft = jnp.fft.fft(pad_signal(sig_block, padded_len, padding), axis=-1)
+            a = scales_loc[:, None]
+            w_hat = jnp.conj(wav.psi_hat_scaled(omega[None, :], a))
+            return jnp.fft.ifft(sig_fft[:, None, :] * w_hat[None, :, :], axis=-1)[..., :n]
+
+        mapped = shard_map(
+            _local, mesh=mesh,
+            in_specs=(P(batch_axis, None), P(scale_axis)),
+            out_specs=P(batch_axis, scale_axis, None),
+        )
+        return jax.jit(mapped)
+
+    run = _get_or_build(
+        ("cwt_batch_scale", mesh, batch_axis, scale_axis, _wav_key(wav), n, fs, padding),
+        _build,
     )
-    coeffs = jax.jit(mapped)(jnp.asarray(signals), jnp.asarray(scales))
-    time_axis = jnp.arange(n) / sampling_rate
-    return CWTResult(coeffs, jnp.asarray(scales), time_axis, float(sampling_rate), wav.name)
+    coeffs = run(jnp.asarray(signals), jnp.asarray(scales))
+    time_axis = jnp.arange(n) / fs
+    return CWTResult(coeffs, jnp.asarray(scales), time_axis, fs, wav.name)
 
 
 # --------------------------------------------------------------------------
@@ -603,17 +667,26 @@ def modwt_fft_sharded(signal, wavelet, level: int, mesh: Mesh, axis_name: str | 
     _check_geometry(n, n_dev, "modwt_fft_sharded")
     _check_doubling_bound(n, "modwt_fft_sharded")
     _validate_level(n, level, "modwt_fft_sharded")
+    from ..filters import get_filter
+
     cdtype = jnp.complex128 if signal.dtype == jnp.float64 else jnp.complex64
     rdtype = signal.dtype
 
-    def _local(v):  # v: (L,)
-        spec = pfft_local(v, axis_name)  # (D, L/D)
-        fil = _cascade_responses_local(wavelet, level, n, _local_freq_bins(n, n_dev, axis_name), cdtype)
-        out = pifft_local(fil * spec[None], axis_name)  # (J+1, L)
-        return jnp.real(out).astype(rdtype)
+    def _build():
+        def _local(v):  # v: (L,)
+            spec = pfft_local(v, axis_name)  # (D, L/D)
+            fil = _cascade_responses_local(wavelet, level, n, _local_freq_bins(n, n_dev, axis_name), cdtype)
+            out = pifft_local(fil * spec[None], axis_name)  # (J+1, L)
+            return jnp.real(out).astype(rdtype)
 
-    mapped = shard_map(_local, mesh=mesh, in_specs=P(axis_name), out_specs=P(None, axis_name))
-    return jax.jit(mapped)(signal)
+        mapped = shard_map(_local, mesh=mesh, in_specs=P(axis_name), out_specs=P(None, axis_name))
+        return jax.jit(mapped)
+
+    run = _get_or_build(
+        ("modwt_fft", mesh, axis_name, get_filter(wavelet).name, level, n, str(rdtype)),
+        _build,
+    )
+    return run(signal)
 
 
 def imodwt_fft_sharded(coeffs, wavelet, mesh: Mesh, axis_name: str | None = None):
@@ -635,17 +708,26 @@ def imodwt_fft_sharded(coeffs, wavelet, mesh: Mesh, axis_name: str | None = None
         raise JWaveFailure("imodwt_fft_sharded - need at least level 1 (2 rows)")
     _check_geometry(n, n_dev, "imodwt_fft_sharded")
     _check_doubling_bound(n, "imodwt_fft_sharded")
+    from ..filters import get_filter
+
     cdtype = jnp.complex128 if coeffs.dtype == jnp.float64 else jnp.complex64
     rdtype = coeffs.dtype
 
-    def _local(c):  # c: (J+1, L)
-        spec = pfft_local(c, axis_name)  # (J+1, D, L/D)
-        fil = _cascade_responses_local(wavelet, level, n, _local_freq_bins(n, n_dev, axis_name), cdtype)
-        v_hat = jnp.sum(spec * jnp.conj(fil), axis=0)  # (D, L/D)
-        return jnp.real(pifft_local(v_hat, axis_name)).astype(rdtype)
+    def _build():
+        def _local(c):  # c: (J+1, L)
+            spec = pfft_local(c, axis_name)  # (J+1, D, L/D)
+            fil = _cascade_responses_local(wavelet, level, n, _local_freq_bins(n, n_dev, axis_name), cdtype)
+            v_hat = jnp.sum(spec * jnp.conj(fil), axis=0)  # (D, L/D)
+            return jnp.real(pifft_local(v_hat, axis_name)).astype(rdtype)
 
-    mapped = shard_map(_local, mesh=mesh, in_specs=P(None, axis_name), out_specs=P(axis_name))
-    return jax.jit(mapped)(coeffs)
+        mapped = shard_map(_local, mesh=mesh, in_specs=P(None, axis_name), out_specs=P(axis_name))
+        return jax.jit(mapped)
+
+    run = _get_or_build(
+        ("imodwt_fft", mesh, axis_name, get_filter(wavelet).name, level, n, str(rdtype)),
+        _build,
+    )
+    return run(coeffs)
 
 
 def cwt_time_sharded(
@@ -694,21 +776,27 @@ def cwt_time_sharded(
     fs = float(sampling_rate)
     a_host = jnp.asarray(scales)
 
-    def _local(v, a):  # v: (L,), a: (S,)
-        spec = pfft_local(v, axis_name)  # (D, L/D) block of the (D, L) layout
-        k = _local_freq_bins(n, n_dev, axis_name)
-        fdtype = jnp.float64 if v.dtype == jnp.float64 else jnp.float32
-        omega = 2.0 * np.pi * fs / n * k.astype(fdtype)
-        omega = jnp.where(k > n // 2, omega - 2.0 * np.pi * fs, omega)
-        w_hat = jnp.conj(wav.psi_hat_scaled(omega[None], a[:, None, None]))  # (S, D, L/D)
-        prod = w_hat.astype(spec.dtype) * spec[None]
-        return pifft_local(prod, axis_name)  # (S, L)
+    def _build():
+        def _local(v, a):  # v: (L,), a: (S,)
+            spec = pfft_local(v, axis_name)  # (D, L/D) block of the (D, L) layout
+            k = _local_freq_bins(n, n_dev, axis_name)
+            fdtype = jnp.float64 if v.dtype == jnp.float64 else jnp.float32
+            omega = 2.0 * np.pi * fs / n * k.astype(fdtype)
+            omega = jnp.where(k > n // 2, omega - 2.0 * np.pi * fs, omega)
+            w_hat = jnp.conj(wav.psi_hat_scaled(omega[None], a[:, None, None]))  # (S, D, L/D)
+            prod = w_hat.astype(spec.dtype) * spec[None]
+            return pifft_local(prod, axis_name)  # (S, L)
 
-    mapped = shard_map(
-        _local, mesh=mesh,
-        in_specs=(P(axis_name), P(None)),
-        out_specs=P(None, axis_name),
+        mapped = shard_map(
+            _local, mesh=mesh,
+            in_specs=(P(axis_name), P(None)),
+            out_specs=P(None, axis_name),
+        )
+        return jax.jit(mapped)
+
+    run = _get_or_build(
+        ("cwt_time", mesh, axis_name, _wav_key(wav), n, fs), _build
     )
-    coeffs = jax.jit(mapped)(signal, a_host)
+    coeffs = run(signal, a_host)
     time_axis = jnp.arange(n) / fs
     return CWTResult(coeffs, a_host, time_axis, fs, wav.name)
