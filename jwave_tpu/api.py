@@ -212,8 +212,15 @@ class MODWTTransform(WaveletTransform):
         )
 
     def inverse_modwt(self, coeffs):
-        """(..., J+1, N) -> (..., N) (MODWTTransform.java:337-375)."""
+        """(..., J+1, N) -> (..., N) (MODWTTransform.java:337-375).
+
+        Empty/degenerate coefficient stacks return an empty signal, matching
+        the reference (MODWTTransform.java:341-343 returns new double[0])."""
+        if coeffs is None:
+            return jnp.zeros((0,))
         coeffs = jnp.asarray(coeffs)
+        if coeffs.ndim < 2 or coeffs.shape[-2] == 0 or coeffs.shape[-1] == 0:
+            return jnp.zeros((0,))
         return self._jitted(("im", coeffs.shape[-2]), partial(imodwt, wavelet=self.wavelet, **self._kw()))(
             coeffs
         )

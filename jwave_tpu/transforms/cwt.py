@@ -79,6 +79,18 @@ class CWTResult:
         """f_a = fc * fs / a (CWTResult.java:scaleToFrequency)."""
         return center_freq * self.sampling_rate / self.scales
 
+    def coefficients_at_scale(self, scale_index: int):
+        """Coefficient row for one scale (CWTResult.java:205-210)."""
+        if not 0 <= scale_index < self.n_scales:
+            raise IndexError(f"scale index {scale_index} out of bounds [0, {self.n_scales})")
+        return self.coefficients[..., scale_index, :]
+
+    def coefficients_at_time(self, time_index: int):
+        """Per-scale coefficient column at one time point (CWTResult.java:218-228)."""
+        if not 0 <= time_index < self.n_time:
+            raise IndexError(f"time index {time_index} out of bounds [0, {self.n_time})")
+        return self.coefficients[..., :, time_index]
+
     @property
     def n_scales(self) -> int:
         return self.coefficients.shape[-2]
@@ -232,13 +244,31 @@ def icwt(result: CWTResult, wavelet: ContinuousWavelet | str | None = None, reg:
     and in-band reconstruction is to rounding).
     """
     if wavelet is None:
-        # parameterized wavelets (Paul(m), DOG(n, sigma), Morlet(fb, fc)) lose
-        # their parameters in the name — pass the wavelet object explicitly
-        # for exact inversion; name-based lookup gets the defaults
+        # parameterized wavelets (Paul(m), DOG(n, sigma), Morlet(fb, fc),
+        # MexicanHat(sigma)) lose their parameters in the stored name — a
+        # name-based lookup silently reconstructs with *default* parameters,
+        # which inverts wrongly if the forward used non-defaults
         try:
             wav = get_continuous_wavelet(result.wavelet_name)
         except Exception:
             wav = get_continuous_wavelet(result.wavelet_name.split(" ")[0])
+        import inspect
+
+        ctor_params = [
+            p for p in inspect.signature(type(wav).__init__).parameters.values()
+            if p.name != "self"
+            and p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY)
+        ]
+        if ctor_params:
+            import warnings
+
+            warnings.warn(
+                f"icwt: reconstructing wavelet {result.wavelet_name!r} by name uses "
+                "default parameters; pass the original wavelet object for exact "
+                "inversion of parameterized wavelets (Paul(m), DOG(n, sigma), "
+                "Morlet(fb, fc), MexicanHat(sigma))",
+                stacklevel=2,
+            )
     else:
         wav = get_continuous_wavelet(wavelet)
     coeffs = result.coefficients  # (..., S, N)

@@ -208,7 +208,9 @@ def test_icwt_reconstruction():
 def test_icwt_default_wavelet_lookup():
     sig = np.sin(2 * np.pi * 0.05 * np.arange(256))
     res = jw.cwt(sig, [2.0, 4.0, 8.0, 16.0], "morlet", 1.0, jw.PaddingType.PERIODIC)
-    rec = np.asarray(jw.icwt(res))  # name-based lookup ("Morlet" -> defaults)
+    # name-based lookup silently uses default wavelet parameters -> must warn
+    with pytest.warns(UserWarning, match="default parameters"):
+        rec = np.asarray(jw.icwt(res))
     assert rec.shape == sig.shape
 
 
