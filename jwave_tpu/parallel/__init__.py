@@ -25,6 +25,10 @@ from .sharded import (
     cwt_time_sharded,
     fwt2d_sharded,
     ifwt2d_sharded,
+    fwt3d_sharded,
+    ifwt3d_sharded,
+    wpt3d_sharded,
+    iwpt3d_sharded,
     modwt_halo_sharded,
     imodwt_halo_sharded,
     modwt_fft_sharded,
@@ -44,6 +48,10 @@ __all__ = [
     "ifwt2d_sharded",
     "wpt2d_sharded",
     "iwpt2d_sharded",
+    "fwt3d_sharded",
+    "ifwt3d_sharded",
+    "wpt3d_sharded",
+    "iwpt3d_sharded",
     "modwt_halo_sharded",
     "fwt_halo_sharded",
     "gather_pyramid",

@@ -238,6 +238,86 @@ def iwpt2d_sharded(mat, wavelet, mesh: Mesh, level_rows=None, level_cols=None, a
 
 
 # --------------------------------------------------------------------------
+# separable 3D transforms: slab shards + all_to_all distributed transpose
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=256)
+def _cached_separable_3d(kind: str, wavelet_name: str, level_p, level_q, level_r,
+                         mesh: Mesh, axis_name: str):
+    """Jitted sharded separable 3D transform, built once per configuration.
+
+    The reference parallelizes 3D as per-slice 2D + per-pillar 1D over a
+    ForkJoinPool (ParallelTransform.java:137-160). The TPU-native form
+    shards the volume's leading axis into slabs: the two local axes
+    transform as batched passes, and the sharded axis is brought local by
+    one all_to_all transpose pair (same bandwidth-optimal pattern as
+    _sharded_separable_2d, extended with the third axis riding along).
+    """
+    fwd = {"fwt": fwt, "ifwt": ifwt, "wpt": wpt, "iwpt": iwpt}[kind]
+    n_dev = mesh.shape[axis_name]
+
+    def _local(block):  # block: (P/D, Q, R)
+        y = fwd(block, wavelet_name, level_r)  # along R
+        y = jnp.swapaxes(y, -1, -2)  # (P/D, R, Q)
+        y = fwd(y, wavelet_name, level_q)  # along Q
+        y = jnp.swapaxes(y, -1, -2)  # (P/D, Q, R)
+        p, q_full, r = y.shape
+        q = q_full // n_dev
+        y = y.reshape(p, n_dev, q, r)
+        y = lax.all_to_all(y, axis_name, split_axis=1, concat_axis=0)  # (D, p, q, R)
+        y = y.reshape(n_dev * p, q, r)  # (P, q, R): this chip owns a Q chunk
+        y = jnp.moveaxis(y, 0, -1)  # (q, R, P)
+        y = fwd(y, wavelet_name, level_p)  # along P
+        y = jnp.moveaxis(y, -1, 0)  # (P, q, R)
+        y = y.reshape(n_dev, p, q, r)
+        y = lax.all_to_all(y, axis_name, split_axis=0, concat_axis=1)  # (p, D, q, R)
+        return y.reshape(p, q_full, r)
+
+    mapped = shard_map(
+        _local, mesh=mesh, in_specs=P(axis_name, None, None), out_specs=P(axis_name, None, None)
+    )
+    run = jax.jit(mapped)
+
+    def wrapper(vol):
+        pp, qq, rr = vol.shape
+        if pp % n_dev or qq % n_dev:
+            raise JWaveFailure(
+                f"sharded 3D transform - volume {pp}x{qq}x{rr} must tile evenly "
+                f"over {n_dev} devices on its first two axes"
+            )
+        return run(vol)
+
+    return wrapper
+
+
+def _sharded_3d(kind, vol, wavelet, mesh, level_p, level_q, level_r, axis_name):
+    from ..filters import get_filter
+
+    f = _cached_separable_3d(kind, get_filter(wavelet).name, level_p, level_q, level_r,
+                             mesh, axis_name or mesh.axis_names[0])
+    return f(jnp.asarray(vol))
+
+
+def fwt3d_sharded(vol, wavelet, mesh: Mesh, level_p=None, level_q=None, level_r=None, axis_name=None):
+    """3D FWT with the volume slab-sharded across the mesh (the scalable
+    analog of ParallelTransform.java:137-160; BASELINE config #4's 256^3
+    volume workload)."""
+    return _sharded_3d("fwt", vol, wavelet, mesh, level_p, level_q, level_r, axis_name)
+
+
+def ifwt3d_sharded(vol, wavelet, mesh: Mesh, level_p=None, level_q=None, level_r=None, axis_name=None):
+    return _sharded_3d("ifwt", vol, wavelet, mesh, level_p, level_q, level_r, axis_name)
+
+
+def wpt3d_sharded(vol, wavelet, mesh: Mesh, level_p=None, level_q=None, level_r=None, axis_name=None):
+    return _sharded_3d("wpt", vol, wavelet, mesh, level_p, level_q, level_r, axis_name)
+
+
+def iwpt3d_sharded(vol, wavelet, mesh: Mesh, level_p=None, level_q=None, level_r=None, axis_name=None):
+    return _sharded_3d("iwpt", vol, wavelet, mesh, level_p, level_q, level_r, axis_name)
+
+
+# --------------------------------------------------------------------------
 # MODWT: time axis sharded with ppermute halo exchange
 # --------------------------------------------------------------------------
 

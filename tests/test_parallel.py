@@ -314,3 +314,59 @@ def test_pfft_single_device_mesh(rng):
     got = np.asarray(modwt_fft_sharded(jnp.asarray(x), "db4", 5, mesh1))
     want = np.asarray(jw.modwt(jnp.asarray(x), "db4", 5, method=jw.ConvolutionMethod.FFT))
     np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+# --------------------------------------------------------------------------
+# sharded separable 3D (the reference's slice/pillar parallel 3D,
+# ParallelTransform.java:137-160, as slab shards + all_to_all transposes)
+# --------------------------------------------------------------------------
+
+def test_fwt3d_sharded_matches_single(mesh, rng):
+    from jwave_tpu.parallel import fwt3d_sharded
+
+    vol = rng.standard_normal((16, 32, 64))
+    got = np.asarray(fwt3d_sharded(jnp.asarray(vol), "db2", mesh))
+    t = jw.TransformBuilder.create("Fast Wavelet Transform", "db2")
+    want = np.asarray(t.forward(vol))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_fwt3d_sharded_roundtrip(mesh, rng):
+    from jwave_tpu.parallel import fwt3d_sharded, ifwt3d_sharded
+
+    vol = rng.standard_normal((16, 16, 16))
+    y = fwt3d_sharded(jnp.asarray(vol), "sym4", mesh)
+    back = np.asarray(ifwt3d_sharded(y, "sym4", mesh))
+    np.testing.assert_allclose(back, vol, atol=1e-8)
+
+
+def test_fwt3d_sharded_levels(mesh, rng):
+    from jwave_tpu.parallel import fwt3d_sharded
+
+    vol = rng.standard_normal((16, 32, 16))
+    got = np.asarray(
+        fwt3d_sharded(jnp.asarray(vol), "Haar", mesh, level_p=1, level_q=2, level_r=3)
+    )
+    t = jw.TransformBuilder.create("Fast Wavelet Transform", "Haar")
+    want = np.asarray(t.forward(vol, 1, 2, 3))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_wpt3d_sharded_matches_single(mesh, rng):
+    from jwave_tpu.parallel import wpt3d_sharded, iwpt3d_sharded
+
+    vol = rng.standard_normal((16, 16, 32))
+    got = np.asarray(wpt3d_sharded(jnp.asarray(vol), "db2", mesh, 2, 2, 2))
+    t = jw.TransformBuilder.create("Wavelet Packet Transform", "db2")
+    want = np.asarray(t.forward(vol, 2, 2, 2))
+    np.testing.assert_allclose(got, want, atol=1e-10)
+    back = np.asarray(iwpt3d_sharded(jnp.asarray(got), "db2", mesh, 2, 2, 2))
+    np.testing.assert_allclose(back, vol, atol=1e-8)
+
+
+def test_fwt3d_sharded_rejects_bad_tiling(mesh, rng):
+    from jwave_tpu.exceptions import JWaveFailure
+    from jwave_tpu.parallel import fwt3d_sharded
+
+    with pytest.raises(JWaveFailure):
+        fwt3d_sharded(jnp.zeros((12, 16, 16)), "Haar", mesh)
