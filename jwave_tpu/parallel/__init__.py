@@ -18,7 +18,9 @@ from .mesh import make_mesh, initialize_distributed
 from .pfft import pfft, pifft
 from .sharded import (
     fwt_halo_sharded,
+    fwt2d_tile_sharded,
     gather_pyramid,
+    gather_pyramid_2d,
     batch_sharded,
     cwt_batch_scale_sharded,
     cwt_scale_sharded,
@@ -54,7 +56,9 @@ __all__ = [
     "iwpt3d_sharded",
     "modwt_halo_sharded",
     "fwt_halo_sharded",
+    "fwt2d_tile_sharded",
     "gather_pyramid",
+    "gather_pyramid_2d",
     "imodwt_halo_sharded",
     "modwt_fft_sharded",
     "imodwt_fft_sharded",

@@ -453,11 +453,13 @@ def imodwt_halo_sharded(coeffs, wavelet, mesh: Mesh, axis_name: str | None = Non
 # --------------------------------------------------------------------------
 
 def _butterfly_halo(v, dec_lo, dec_hi, axis_name, n_dev):
-    """One analysis butterfly on a time-sharded block: each chip computes its
-    contiguous share of approx/detail from its local samples plus an M-2
-    right halo fetched from the next chip (circular)."""
+    """One analysis butterfly on a time-sharded block (last axis, batched
+    over leading axes): each chip computes its contiguous share of
+    approx/detail from its local samples plus an M-2 right halo fetched from
+    the next chip along ``axis_name`` (circular)."""
     import numpy as np
 
+    lead = v.shape[:-1]
     n_loc = v.shape[-1]
     m = int(dec_lo.shape[0])
     halo = max(m - 2, 0)
@@ -469,13 +471,50 @@ def _butterfly_halo(v, dec_lo, dec_hi, axis_name, n_dev):
         ext = v
     rhs = jnp.asarray(np.stack([np.asarray(dec_lo), np.asarray(dec_hi)])[:, None, :], dtype=v.dtype)
     out = lax.conv_general_dilated(
-        ext[None, None, :], rhs,
+        ext.reshape((-1, 1, ext.shape[-1])), rhs,
         window_strides=(2,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=v.dtype,
         precision=_config.conv_precision(),
-    )[0]  # (2, n_loc/2)
-    return out[0], out[1]  # local approx chunk, local detail chunk
+    ).reshape(lead + (2, n_loc // 2))
+    return out[..., 0, :], out[..., 1, :]  # local approx / detail chunks
+
+
+def _halo_level_split(n: int, n_dev: int, fb, level: int):
+    """How many pyramid levels can run fully sharded (local chunk of the
+    shrinking prefix keeps >= filter-length samples) vs. finished redundantly
+    on every chip after an all_gather of the tiny remaining prefix."""
+    sharded_levels = 0
+    h = n
+    m = fb.length
+    while sharded_levels < level and h >= fb.transform_wavelength and (h // n_dev) >= max(m, 2):
+        sharded_levels += 1
+        h >>= 1
+    tail_levels = 0
+    while sharded_levels + tail_levels < level and h >= fb.transform_wavelength:
+        tail_levels += 1
+        h >>= 1
+    return sharded_levels, tail_levels
+
+
+def _fwt_axis_halo_local(v, fb, sharded_levels: int, tail_levels: int, axis_name: str, n_dev: int):
+    """Multi-level FWT along the last axis of a sharded block (batched over
+    leading axes) with per-level ppermute halo exchange. Returns the local
+    slice of the distributed pyramid layout [D_1^c | D_2^c | ... | tail]."""
+    details = []
+    for _ in range(sharded_levels):
+        v, d = _butterfly_halo(v, fb.dec_lo, fb.dec_hi, axis_name, n_dev)
+        details.append(d)
+    if tail_levels:
+        # gather the tiny remaining prefix and finish on every chip
+        full = lax.all_gather(v, axis_name, axis=v.ndim - 1, tiled=True)
+        from ..transforms.fwt import fwt as fwt_1d
+
+        full = fwt_1d(full, fb, tail_levels)
+        loc = full.shape[-1] // n_dev
+        idx = lax.axis_index(axis_name)
+        v = lax.dynamic_slice_in_dim(full, idx * loc, loc, axis=full.ndim - 1)
+    return jnp.concatenate(details + [v], axis=-1) if details else v
 
 
 def fwt_halo_sharded(signal, wavelet, mesh: Mesh, level: int | None = None, axis_name=None):
@@ -509,37 +548,13 @@ def fwt_halo_sharded(signal, wavelet, mesh: Mesh, level: int | None = None, axis
     steps = exponent_of_two(n)
     if level is None:
         level = steps
-    m = fb.length
 
-    # sharded levels: local chunk of the prefix must keep >= M samples
-    sharded_levels = 0
-    h = n
-    while sharded_levels < level and h >= fb.transform_wavelength and (h // n_dev) >= max(m, 2):
-        sharded_levels += 1
-        h >>= 1
-    tail_levels = 0
-    while sharded_levels + tail_levels < level and h >= fb.transform_wavelength:
-        tail_levels += 1
-        h >>= 1
+    sharded_levels, tail_levels = _halo_level_split(n, n_dev, fb, level)
 
     def _build():
         def _local(v):  # v: (n_loc,) local chunk
-            details = []
-            for _ in range(sharded_levels):
-                v, d = _butterfly_halo(v, fb.dec_lo, fb.dec_hi, axis_name, n_dev)
-                details.append(d)
-            if tail_levels:
-                # gather the tiny remaining prefix and finish on every chip
-                full = lax.all_gather(v, axis_name, axis=0, tiled=True)
-                from ..transforms.fwt import fwt as fwt_1d
-
-                full = fwt_1d(full, fb, tail_levels)
-                h_rem = full.shape[-1]
-                loc = h_rem // n_dev
-                idx = lax.axis_index(axis_name)
-                v = lax.dynamic_slice_in_dim(full, idx * loc, loc, axis=0)
             # local layout: [D_1^c | D_2^c | ... | tail] (finest detail first)
-            return jnp.concatenate(details + [v]) if details else v
+            return _fwt_axis_halo_local(v, fb, sharded_levels, tail_levels, axis_name, n_dev)
 
         mapped = shard_map(_local, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name))
         return jax.jit(mapped)
@@ -548,40 +563,124 @@ def fwt_halo_sharded(signal, wavelet, mesh: Mesh, level: int | None = None, axis
     return run(jnp.asarray(signal))
 
 
+def _pyramid_permutation(n: int, n_dev: int, fb, level: int) -> np.ndarray:
+    """Source-index array mapping a gathered distributed-pyramid axis (local
+    layout [D_1^c | D_2^c | ... | tail] per chip, concatenated) to the
+    reference's global layout [A_L | D_L | ... | D_1]: out = arr[idx]."""
+    sharded_levels, _ = _halo_level_split(n, n_dev, fb, level)
+    n_loc = n // n_dev
+    idx = np.empty(n, dtype=np.int64)
+    offset_local = 0
+    for l in range(1, sharded_levels + 1):
+        d_len = n // (2**l) // n_dev
+        base = n // (2**l)  # detail region for level l: [n/2^l, n/2^(l-1))
+        for c in range(n_dev):
+            idx[base + c * d_len : base + (c + 1) * d_len] = (
+                c * n_loc + offset_local + np.arange(d_len)
+            )
+        offset_local += d_len
+    tail_len = n_loc - offset_local
+    for c in range(n_dev):
+        idx[c * tail_len : (c + 1) * tail_len] = c * n_loc + offset_local + np.arange(tail_len)
+    return idx
+
+
 def gather_pyramid(dist, wavelet, level: int, n_dev: int):
     """Convert the gathered distributed-pyramid output of
     :func:`fwt_halo_sharded` into the reference's global layout
     ``[A_L | D_L | ... | D_1]`` (host-side reshuffle)."""
-    import numpy as np
-
     from ..filters import get_filter
-    from ..utils.numerics import exponent_of_two
+
+    arr = np.asarray(dist)
+    return arr[_pyramid_permutation(arr.shape[-1], n_dev, get_filter(wavelet), level)]
+
+
+# --------------------------------------------------------------------------
+# 2D FWT: tile sharding over a 2D mesh with per-level halo exchange
+# --------------------------------------------------------------------------
+
+def fwt2d_tile_sharded(
+    mat,
+    wavelet,
+    mesh: Mesh,
+    level_rows: int | None = None,
+    level_cols: int | None = None,
+    row_axis: str | None = None,
+    col_axis: str | None = None,
+):
+    """Multi-level 2D FWT with the matrix *tile-sharded* over a 2D mesh.
+
+    This is the direct TPU analog of the reference's row/column ForkJoinPool
+    decorator (ParallelTransform.java:70-126) in its natural SPMD form
+    (SURVEY.md §2.6): each chip owns one (M/Dr, N/Dc) tile; the column pass
+    runs the halo-exchange pyramid (:func:`fwt_halo_sharded`'s kernel) along
+    the col mesh axis, the row pass along the row mesh axis. Every level
+    exchanges only (filter_length - 2) boundary samples per tile edge via
+    ``ppermute`` — no element ever moves twice, unlike the all_to_all
+    transpose of :func:`fwt2d_sharded` which ships each element once per
+    pass. When the shrinking prefix no longer spans a mesh axis, the tiny
+    remainder is finished redundantly after a per-axis all_gather.
+
+    Output is in the *distributed pyramid layout* per axis; use
+    :func:`gather_pyramid_2d` on a gathered copy to obtain the reference's
+    global layout (bit-identical to the single-chip ``fwt2``). Requires both
+    matrix axes to be powers of two dividing their mesh axes.
+    """
+    from ..filters import get_filter
+    from ..utils.numerics import exponent_of_two, is_power_of_two
+
+    if len(mesh.axis_names) < 2:
+        raise JWaveFailure("fwt2d_tile_sharded - needs a 2D mesh (rows x cols)")
+    row_axis = row_axis or mesh.axis_names[0]
+    col_axis = col_axis or mesh.axis_names[1]
+    n_dev_r = mesh.shape[row_axis]
+    n_dev_c = mesh.shape[col_axis]
+    fb = get_filter(wavelet)
+    mat = jnp.asarray(mat)
+    if mat.ndim != 2:
+        raise JWaveFailure("fwt2d_tile_sharded - expects a 2D matrix")
+    rows, cols = mat.shape
+    for n, d, who in ((rows, n_dev_r, "rows"), (cols, n_dev_c, "cols")):
+        if not is_power_of_two(n) or n % d:
+            raise JWaveFailure(
+                f"fwt2d_tile_sharded - {who} length {n} must be 2^p and divide over {d} chips"
+            )
+    if level_rows is None:
+        level_rows = exponent_of_two(rows)
+    if level_cols is None:
+        level_cols = exponent_of_two(cols)
+    sl_r, tl_r = _halo_level_split(rows, n_dev_r, fb, level_rows)
+    sl_c, tl_c = _halo_level_split(cols, n_dev_c, fb, level_cols)
+
+    def _build():
+        def _local(tile):  # tile: (rows/Dr, cols/Dc)
+            y = _fwt_axis_halo_local(tile, fb, sl_c, tl_c, col_axis, n_dev_c)
+            y = jnp.swapaxes(y, -1, -2)
+            y = _fwt_axis_halo_local(y, fb, sl_r, tl_r, row_axis, n_dev_r)
+            return jnp.swapaxes(y, -1, -2)
+
+        mapped = shard_map(
+            _local, mesh=mesh, in_specs=P(row_axis, col_axis), out_specs=P(row_axis, col_axis)
+        )
+        return jax.jit(mapped)
+
+    run = _get_or_build(
+        ("fwt2d_tile", mesh, row_axis, col_axis, fb.name, rows, cols, level_rows, level_cols),
+        _build,
+    )
+    return run(mat)
+
+
+def gather_pyramid_2d(dist, wavelet, level_rows: int, level_cols: int, n_dev_r: int, n_dev_c: int):
+    """Convert a gathered :func:`fwt2d_tile_sharded` output to the
+    reference's global 2D layout (host-side index permutation per axis)."""
+    from ..filters import get_filter
 
     fb = get_filter(wavelet)
     arr = np.asarray(dist)
-    n = arr.shape[-1]
-    n_loc = n // n_dev
-    chunks = arr.reshape(n_dev, n_loc)
-    # recompute the sharded/tail split exactly as the forward did
-    m = fb.length
-    sharded_levels = 0
-    h = n
-    while sharded_levels < level and h >= fb.transform_wavelength and (h // n_dev) >= max(m, 2):
-        sharded_levels += 1
-        h >>= 1
-    out = np.empty(n)
-    # local layout per chip: [D_1^c .. D_L^c | A-or-tail chunk]
-    offset_local = 0
-    for l in range(1, sharded_levels + 1):
-        d_len = n // (2**l) // n_dev
-        region = out[n // (2**l) : n // 2 ** (l - 1)]
-        for c in range(n_dev):
-            region[c * d_len : (c + 1) * d_len] = chunks[c, offset_local : offset_local + d_len]
-        offset_local += d_len
-    tail_len = n_loc - offset_local
-    for c in range(n_dev):
-        out[c * tail_len : (c + 1) * tail_len] = chunks[c, offset_local:]
-    return out
+    idx_r = _pyramid_permutation(arr.shape[-2], n_dev_r, fb, level_rows)
+    idx_c = _pyramid_permutation(arr.shape[-1], n_dev_c, fb, level_cols)
+    return arr[..., idx_r, :][..., :, idx_c]
 
 
 def cwt_batch_scale_sharded(

@@ -370,3 +370,57 @@ def test_fwt3d_sharded_rejects_bad_tiling(mesh, rng):
 
     with pytest.raises(JWaveFailure):
         fwt3d_sharded(jnp.zeros((12, 16, 16)), "Haar", mesh)
+
+
+# --------------------------------------------------------------------------
+# tile-sharded 2D FWT with per-level halo exchange (2D mesh) — the
+# blueprint's named TPU analog of ParallelTransform.java:70-126
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    from jwave_tpu.parallel import make_mesh as _mm
+
+    return _mm((4, 2), ("mrow", "mcol"))
+
+
+@pytest.mark.parametrize("wavelet,level_r,level_c", [
+    ("Haar", None, None),
+    ("db2", 3, 4),
+    ("sym4", 2, 2),
+])
+def test_fwt2d_tile_sharded_bitexact(mesh2d, rng, wavelet, level_r, level_c):
+    from jwave_tpu.parallel import fwt2d_tile_sharded, gather_pyramid_2d
+    from jwave_tpu.utils.numerics import exponent_of_two
+
+    mat = rng.standard_normal((64, 128))
+    dist = np.asarray(fwt2d_tile_sharded(jnp.asarray(mat), wavelet, mesh2d, level_r, level_c))
+    lr = level_r if level_r is not None else exponent_of_two(64)
+    lc = level_c if level_c is not None else exponent_of_two(128)
+    got = gather_pyramid_2d(dist, wavelet, lr, lc, 4, 2)
+    t = jw.TransformBuilder.create("Fast Wavelet Transform", wavelet)
+    want = np.asarray(t.forward(mat, lr, lc))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_fwt2d_tile_sharded_deep_levels_tail(mesh2d, rng):
+    """Levels deep enough that the shrinking prefix no longer spans the mesh
+    exercise the all_gather tail path on both axes."""
+    from jwave_tpu.parallel import fwt2d_tile_sharded, gather_pyramid_2d
+
+    mat = rng.standard_normal((32, 32))
+    dist = np.asarray(fwt2d_tile_sharded(jnp.asarray(mat), "db2", mesh2d, 5, 5))
+    got = gather_pyramid_2d(dist, "db2", 5, 5, 4, 2)
+    t = jw.TransformBuilder.create("Fast Wavelet Transform", "db2")
+    want = np.asarray(t.forward(mat, 5, 5))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_fwt2d_tile_sharded_rejects_bad_geometry(mesh2d):
+    from jwave_tpu.exceptions import JWaveFailure
+    from jwave_tpu.parallel import fwt2d_tile_sharded
+
+    with pytest.raises(JWaveFailure):
+        fwt2d_tile_sharded(jnp.zeros((48, 64)), "Haar", mesh2d)  # 48 not 2^p
+    with pytest.raises(JWaveFailure):
+        fwt2d_tile_sharded(jnp.zeros(64), "Haar", mesh2d)  # not 2D
