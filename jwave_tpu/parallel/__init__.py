@@ -15,7 +15,7 @@ Mesh over ICI/DCN with
     time-sharded MODWT whose working set never leaves N/D per chip.
 """
 from .mesh import make_mesh, initialize_distributed
-from .pfft import pfft, pifft
+from .pfft import pfft, pifft, pfft2, pifft2
 from .sharded import (
     fwt_halo_sharded,
     fwt2d_tile_sharded,
@@ -35,6 +35,8 @@ from .sharded import (
     imodwt_halo_sharded,
     modwt_fft_sharded,
     imodwt_fft_sharded,
+    modwt2d_sharded,
+    imodwt2d_sharded,
     wpt2d_sharded,
     iwpt2d_sharded,
 )
@@ -64,4 +66,8 @@ __all__ = [
     "imodwt_fft_sharded",
     "pfft",
     "pifft",
+    "pfft2",
+    "pifft2",
+    "modwt2d_sharded",
+    "imodwt2d_sharded",
 ]

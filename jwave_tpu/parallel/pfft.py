@@ -163,52 +163,129 @@ import functools
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_pfft(mesh: Mesh, axis_name: str):
-    """One jitted shard_map per (mesh, axis) — a fresh closure per call
-    would retrace+recompile every invocation (20-40 s each on the TPU
+def _cached_pfft(mesh: Mesh, axis_name: str, ndim: int):
+    """One jitted shard_map per (mesh, axis, rank) — a fresh closure per
+    call would retrace+recompile every invocation (20-40 s each on the TPU
     relay). jit's own cache handles varying shapes/dtypes under it."""
+    lead = (None,) * (ndim - 1)
     mapped = shard_map(
         lambda v: pfft_local(v, axis_name),
-        mesh=mesh, in_specs=P(axis_name), out_specs=P(None, axis_name),
+        mesh=mesh, in_specs=P(*lead, axis_name), out_specs=P(*lead, None, axis_name),
     )
     return jax.jit(mapped)
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_pifft(mesh: Mesh, axis_name: str):
+def _cached_pifft(mesh: Mesh, axis_name: str, ndim: int):
+    lead = (None,) * (ndim - 2)
     mapped = shard_map(
         lambda g: pifft_local(g, axis_name),
-        mesh=mesh, in_specs=P(None, axis_name), out_specs=P(axis_name),
+        mesh=mesh, in_specs=P(*lead, None, axis_name), out_specs=P(*lead, axis_name),
     )
     return jax.jit(mapped)
 
 
 def pfft(signal, mesh: Mesh, axis_name: str | None = None):
-    """Distributed FFT of a 1D length-N signal sharded over ``mesh``.
+    """Distributed FFT along the last axis of a (..., N) signal batch, the
+    time axis sharded over ``mesh`` (leading batch axes replicated — shard
+    them separately with :func:`batch_sharded` layouts if desired).
 
-    Returns the full spectrum as a global (D, N/D) array — the row-major
-    reshape of ``jnp.fft.fft(signal)`` — sharded over its *columns*
-    (``PartitionSpec(None, axis)``). Use ``.reshape(-1)`` on a gathered copy
-    to recover natural order, or feed it straight to :func:`pifft`.
+    Returns the full spectrum as a global (..., D, N/D) array — the
+    row-major reshape of ``jnp.fft.fft(signal, axis=-1)`` — sharded over its
+    *columns* (``PartitionSpec(..., None, axis)``). Use ``.reshape(-1)`` on
+    a gathered copy to recover natural order, or feed it straight to
+    :func:`pifft`.
     """
     axis_name = axis_name or mesh.axis_names[0]
     n_dev = mesh.shape[axis_name]
     signal = jnp.asarray(signal)
-    if signal.ndim != 1:
-        raise JWaveFailure("pfft - expects a 1D signal")
+    if signal.ndim < 1:
+        raise JWaveFailure("pfft - expects at least a 1D signal")
     _check_geometry(signal.shape[-1], n_dev, "pfft")
 
-    return _cached_pfft(mesh, axis_name)(signal)
+    return _cached_pfft(mesh, axis_name, signal.ndim)(signal)
 
 
 def pifft(spectrum, mesh: Mesh, axis_name: str | None = None):
-    """Inverse of :func:`pfft`: (D, N/D) column-sharded spectrum layout back
-    to the length-N time-domain signal (contiguous-sharded, complex)."""
+    """Inverse of :func:`pfft`: (..., D, N/D) column-sharded spectrum layout
+    back to the (..., N) time-domain signal (contiguous-sharded, complex)."""
     axis_name = axis_name or mesh.axis_names[0]
     n_dev = mesh.shape[axis_name]
     spectrum = jnp.asarray(spectrum)
-    if spectrum.ndim != 2 or spectrum.shape[0] != n_dev:
-        raise JWaveFailure(f"pifft - expects a ({n_dev}, N/{n_dev}) spectrum layout")
-    _check_geometry(spectrum.shape[0] * spectrum.shape[1], n_dev, "pifft")
+    if spectrum.ndim < 2 or spectrum.shape[-2] != n_dev:
+        raise JWaveFailure(f"pifft - expects a (..., {n_dev}, N/{n_dev}) spectrum layout")
+    _check_geometry(spectrum.shape[-2] * spectrum.shape[-1], n_dev, "pifft")
 
-    return _cached_pifft(mesh, axis_name)(spectrum)
+    return _cached_pifft(mesh, axis_name, spectrum.ndim)(spectrum)
+
+
+# ---------------------------------------------------------------------------
+# distributed 2D FFT: row shards + all_to_all transpose (natural-order out)
+# ---------------------------------------------------------------------------
+
+def pfft2_local(x_loc, axis_name: str, inverse: bool = False):
+    """2D FFT body on a row-sharded block: ``x_loc`` (..., M/D, N) ->
+    (..., M/D, N) block of the *natural-order* 2D spectrum (row-sharded).
+
+    Local FFT along the resident N axis, one all_to_all to own a column
+    chunk, local FFT along the (now resident) M axis, one all_to_all back —
+    each element crosses the interconnect exactly twice.
+    """
+    n_dev = lax.axis_size(axis_name)
+    cdtype = jnp.complex128 if x_loc.dtype in (jnp.float64, jnp.complex128) else jnp.complex64
+    b = _cfft_axis(x_loc.astype(cdtype), axis=-1, inverse=inverse)
+    if n_dev == 1:
+        return _cfft_axis(b, axis=-2, inverse=inverse)
+    lead = b.shape[:-2]
+    nl = len(lead)
+    m_loc, n = b.shape[-2:]
+    t = b.reshape(lead + (m_loc, n_dev, n // n_dev))
+    t = lax.all_to_all(t, axis_name, split_axis=nl + 1, concat_axis=nl)  # (..., D, M/D, n/D)
+    t = t.reshape(lead + (n_dev * m_loc, n // n_dev))  # (..., M, n/D)
+    t = _cfft_axis(t, axis=-2, inverse=inverse)
+    t = t.reshape(lead + (n_dev, m_loc, n // n_dev))
+    t = lax.all_to_all(t, axis_name, split_axis=nl, concat_axis=nl + 1)  # (..., M/D, D, n/D)
+    return t.reshape(lead + (m_loc, n))
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_pfft2(mesh: Mesh, axis_name: str, ndim: int, inverse: bool):
+    lead = (None,) * (ndim - 2)
+    spec = P(*lead, axis_name, None)
+    mapped = shard_map(
+        lambda v: pfft2_local(v, axis_name, inverse),
+        mesh=mesh, in_specs=spec, out_specs=spec,
+    )
+    return jax.jit(mapped)
+
+
+def _pfft2_common(mat, mesh, axis_name, inverse, who):
+    axis_name = axis_name or mesh.axis_names[0]
+    n_dev = mesh.shape[axis_name]
+    mat = jnp.asarray(mat)
+    if mat.ndim < 2:
+        raise JWaveFailure(f"{who} - expects a (..., M, N) matrix")
+    m, n = mat.shape[-2:]
+    if m % n_dev or n % n_dev:
+        raise JWaveFailure(
+            f"{who} - matrix {m}x{n} must divide over {n_dev} devices on both axes"
+        )
+    if not jax.config.jax_enable_x64 and m * n >= (1 << 31):
+        raise JWaveFailure(f"{who} - {m}x{n} overflows int32 indexing; enable jax_enable_x64")
+    return _cached_pfft2(mesh, axis_name, mat.ndim, inverse)(mat)
+
+
+def pfft2(mat, mesh: Mesh, axis_name: str | None = None):
+    """Distributed 2D FFT of a (..., M, N) row-sharded matrix.
+
+    Unlike the 1D four-step :func:`pfft`, the output is the full 2D
+    spectrum in *natural order*, row-sharded exactly like the input — the
+    transpose pair restores the layout, so downstream frequency-domain
+    filters index it directly. Unnormalized forward (matches
+    ``jnp.fft.fft2``)."""
+    return _pfft2_common(mat, mesh, axis_name, False, "pfft2")
+
+
+def pifft2(mat, mesh: Mesh, axis_name: str | None = None):
+    """Inverse distributed 2D FFT (matches ``jnp.fft.ifft2``; complex out)."""
+    return _pfft2_common(mat, mesh, axis_name, True, "pifft2")

@@ -909,6 +909,114 @@ def imodwt_fft_sharded(coeffs, wavelet, mesh: Mesh, axis_name: str | None = None
     return run(coeffs)
 
 
+def modwt2d_sharded(mat, wavelet, level: int, mesh: Mesh, axis_name: str | None = None, **kw):
+    """Separable 2D MODWT with the matrix row-sharded across the mesh.
+
+    Column-direction transforms are fully local (each chip holds complete
+    rows); the row-direction pass is brought local by one all_to_all
+    transpose pair, exactly like the separable 2D FWT. Matches
+    :func:`jwave_tpu.transforms.modwt.modwt_2d`'s (..., J+1, J+1, R, C)
+    subband grid, returned row-sharded on R. Feeds scalogram/denoising
+    pipelines whose images exceed one chip's HBM.
+    """
+    from ..transforms.modwt import modwt as _modwt
+    from ..filters import get_filter
+
+    axis_name = axis_name or mesh.axis_names[0]
+    n_dev = mesh.shape[axis_name]
+    mat = jnp.asarray(mat)
+    if mat.ndim != 2:
+        raise JWaveFailure("modwt2d_sharded - expects a 2D matrix (R, C)")
+    r, c = mat.shape
+    if r % n_dev or c % n_dev:
+        raise JWaveFailure(
+            f"modwt2d_sharded - matrix {r}x{c} must divide over {n_dev} devices on both axes"
+        )
+    _validate_level(min(r, c), level, "modwt2d_sharded")
+
+    def _build():
+        def _local(block):  # (R/D, C)
+            y = _modwt(block, wavelet, level, **kw)  # (R/D, J+1, C)
+            y = jnp.moveaxis(y, -2, -3)  # (jc, R/D, C)
+            j1, r_loc, c_full = y.shape
+            y = y.reshape(j1, r_loc, n_dev, c_full // n_dev)
+            y = lax.all_to_all(y, axis_name, split_axis=2, concat_axis=1)  # (jc, D, R/D, C/D)
+            y = y.reshape(j1, n_dev * r_loc, c_full // n_dev)  # (jc, R, C/D)
+            y = jnp.swapaxes(y, -1, -2)  # (jc, C/D, R)
+            y = _modwt(y, wavelet, level, **kw)  # (jc, C/D, jr, R)
+            y = jnp.moveaxis(y, -2, -4)  # (jr, jc, C/D, R)
+            y = jnp.swapaxes(y, -1, -2)  # (jr, jc, R, C/D)
+            y = y.reshape(j1, j1, n_dev, r_loc, c_full // n_dev)
+            y = lax.all_to_all(y, axis_name, split_axis=2, concat_axis=3)  # (jr, jc, R/D, D, C/D)
+            return y.reshape(j1, j1, r_loc, c_full)
+
+        mapped = shard_map(
+            _local, mesh=mesh,
+            in_specs=P(axis_name, None),
+            out_specs=P(None, None, axis_name, None),
+        )
+        return jax.jit(mapped)
+
+    run = _get_or_build(
+        ("modwt2d", mesh, axis_name, get_filter(wavelet).name, level, r, c,
+         tuple(sorted(kw.items()))),
+        _build,
+    )
+    return run(mat)
+
+
+def imodwt2d_sharded(coeffs, wavelet, mesh: Mesh, axis_name: str | None = None, **kw):
+    """Inverse of :func:`modwt2d_sharded` from the row-sharded
+    (J+1, J+1, R, C) grid back to the (R, C) matrix."""
+    from ..transforms.modwt import imodwt as _imodwt
+    from ..filters import get_filter
+
+    axis_name = axis_name or mesh.axis_names[0]
+    n_dev = mesh.shape[axis_name]
+    coeffs = jnp.asarray(coeffs)
+    if coeffs.ndim != 4:
+        raise JWaveFailure("imodwt2d_sharded - expects a (J+1, J+1, R, C) grid")
+    j1, j1b, r, c = coeffs.shape
+    if j1 != j1b:
+        raise JWaveFailure("imodwt2d_sharded - level grid must be square")
+    if r % n_dev or c % n_dev:
+        raise JWaveFailure(
+            f"imodwt2d_sharded - matrix {r}x{c} must divide over {n_dev} devices on both axes"
+        )
+
+    def _build():
+        def _local(g):  # (jr, jc, R/D, C)
+            r_loc = g.shape[-2]
+            c_full = g.shape[-1]
+            # undo the row-direction transform first: need R resident
+            y = g.reshape(j1, j1, r_loc, n_dev, c_full // n_dev)
+            y = lax.all_to_all(y, axis_name, split_axis=3, concat_axis=2)  # (jr, jc, D, R/D, C/D)
+            y = y.reshape(j1, j1, n_dev * r_loc, c_full // n_dev)  # (jr, jc, R, C/D)
+            y = jnp.swapaxes(y, -1, -2)  # (jr, jc, C/D, R)
+            y = jnp.moveaxis(y, -4, -2)  # (jc, C/D, jr, R)
+            y = _imodwt(y, wavelet, **kw)  # (jc, C/D, R)
+            y = jnp.swapaxes(y, -1, -2)  # (jc, R, C/D)
+            y = y.reshape(j1, n_dev, r_loc, c_full // n_dev)
+            y = lax.all_to_all(y, axis_name, split_axis=1, concat_axis=2)  # (jc, R/D, D, C/D)
+            y = y.reshape(j1, r_loc, c_full)  # (jc, R/D, C)
+            y = jnp.moveaxis(y, -3, -2)  # (R/D, jc, C)
+            return _imodwt(y, wavelet, **kw)  # (R/D, C)
+
+        mapped = shard_map(
+            _local, mesh=mesh,
+            in_specs=P(None, None, axis_name, None),
+            out_specs=P(axis_name, None),
+        )
+        return jax.jit(mapped)
+
+    run = _get_or_build(
+        ("imodwt2d", mesh, axis_name, get_filter(wavelet).name, j1, r, c,
+         tuple(sorted(kw.items()))),
+        _build,
+    )
+    return run(coeffs)
+
+
 def cwt_time_sharded(
     signal,
     scales,

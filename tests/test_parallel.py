@@ -424,3 +424,65 @@ def test_fwt2d_tile_sharded_rejects_bad_geometry(mesh2d):
         fwt2d_tile_sharded(jnp.zeros((48, 64)), "Haar", mesh2d)  # 48 not 2^p
     with pytest.raises(JWaveFailure):
         fwt2d_tile_sharded(jnp.zeros(64), "Haar", mesh2d)  # not 2D
+
+
+# --------------------------------------------------------------------------
+# batched pfft, distributed 2D FFT, and sharded 2D MODWT
+# --------------------------------------------------------------------------
+
+def test_pfft_batched_matches_numpy(mesh, rng):
+    from jwave_tpu.parallel import pfft, pifft
+
+    x = rng.standard_normal((3, 512))
+    spec = np.asarray(pfft(jnp.asarray(x), mesh))
+    want = np.fft.fft(x, axis=-1).reshape(3, 8, 64)
+    np.testing.assert_allclose(spec, want, atol=1e-9)
+    back = np.asarray(pifft(jnp.asarray(spec), mesh))
+    np.testing.assert_allclose(back.real, x, atol=1e-9)
+
+
+def test_pfft2_matches_numpy(mesh, rng):
+    from jwave_tpu.parallel import pfft2, pifft2
+
+    x = rng.standard_normal((64, 128))
+    spec = np.asarray(pfft2(jnp.asarray(x), mesh))
+    np.testing.assert_allclose(spec, np.fft.fft2(x), atol=1e-9)
+    back = np.asarray(pifft2(jnp.asarray(spec), mesh))
+    np.testing.assert_allclose(back.real, x, atol=1e-9)
+
+
+def test_pfft2_batched_nonpow2(mesh, rng):
+    """Batched leading axis + a non-power-of-two resident axis (Bluestein)."""
+    from jwave_tpu.parallel import pfft2
+
+    x = rng.standard_normal((2, 32, 24))
+    spec = np.asarray(pfft2(jnp.asarray(x), mesh))
+    np.testing.assert_allclose(spec, np.fft.fft2(x, axes=(-2, -1)), atol=1e-8)
+
+
+def test_modwt2d_sharded_matches_single(mesh, rng):
+    from jwave_tpu.parallel import modwt2d_sharded
+    from jwave_tpu.transforms.modwt import modwt_2d
+
+    mat = rng.standard_normal((32, 64))
+    got = np.asarray(modwt2d_sharded(jnp.asarray(mat), "db2", 2, mesh))
+    want = np.asarray(modwt_2d(jnp.asarray(mat), "db2", 2))
+    assert got.shape == (3, 3, 32, 64)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_modwt2d_sharded_roundtrip(mesh, rng):
+    from jwave_tpu.parallel import imodwt2d_sharded, modwt2d_sharded
+
+    mat = rng.standard_normal((32, 32))
+    grid = modwt2d_sharded(jnp.asarray(mat), "sym4", 2, mesh)
+    back = np.asarray(imodwt2d_sharded(grid, "sym4", mesh))
+    np.testing.assert_allclose(back, mat, atol=1e-8)
+
+
+def test_pfft2_rejects_bad_geometry(mesh):
+    from jwave_tpu.exceptions import JWaveFailure
+    from jwave_tpu.parallel import pfft2
+
+    with pytest.raises(JWaveFailure):
+        pfft2(jnp.zeros((30, 64)), mesh)  # 30 % 8 != 0
