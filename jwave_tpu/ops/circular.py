@@ -47,6 +47,21 @@ def _conv_valid(flat, kernel, dtype):
     return out[:, 0, :]
 
 
+def _conv_valid_bank(flat, kernels, dtype):
+    """(B, L) x (K, M) -> (B, K, L-M+1): one conv program applies a whole
+    bank of same-length kernels (K output channels) to every row."""
+    out = lax.conv_general_dilated(
+        flat[:, None, :],
+        jnp.asarray(kernels, dtype=dtype)[:, None, :],
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=dtype,
+        precision=_config.conv_precision(),
+    )
+    return out
+
+
 def circular_conv(x, f: np.ndarray):
     """Direct circular convolution, batched over leading dims of ``x``."""
     x = ensure_float(x)

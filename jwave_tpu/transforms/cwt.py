@@ -206,24 +206,43 @@ def cwt_direct(
     sup_lo, sup_hi = wav.effective_support()
 
     from ..ops.butterfly import ensure_float
-    from ..ops.circular import _conv_valid
+    from ..ops.circular import _conv_valid_bank
 
     signal = ensure_float(jnp.asarray(signal))
     lead = signal.shape[:-1]
     flat = signal.reshape((-1, n))
-    rows = []
-    for a in scales:
+
+    # Scales are bucketed by support length (next power of two): each bucket
+    # zero-pads its kernels to one shared window and runs a SINGLE conv with
+    # a 2*S_b-channel kernel bank (real rows then imaginary rows). A naive
+    # per-scale loop compiles one XLA program per scale — a 100-scale call
+    # would build 100 programs; bucketing bounds it at O(log max_support).
+    windows = []
+    for si, a in enumerate(scales):
         lo = max(int(sup_lo * a * fs), -(n - 1))
         hi = min(int(sup_hi * a * fs), n - 1)
-        offsets = np.arange(lo, hi + 1)  # i - t
-        kernel = np.conj(np.asarray(wav.psi(jnp.asarray(offsets * dt / a)))) / math.sqrt(a) * dt
-        # coef[t] = sum_d kernel[d] * x[t + lo + d] with zero padding — one
-        # O(N)-memory correlation per scale (real and imaginary parts)
-        padded = jnp.pad(flat, [(0, 0), (max(0, -lo), max(0, hi))])
-        start = max(lo, 0)  # correlation output offset of coefficient t=0
-        re = _conv_valid(padded, np.ascontiguousarray(kernel.real), padded.dtype)[:, start : start + n]
-        im = _conv_valid(padded, np.ascontiguousarray(kernel.imag), padded.dtype)[:, start : start + n]
-        rows.append((re + 1j * im).reshape(lead + (n,)))
+        windows.append((si, float(a), lo, hi))
+    buckets: dict[int, list] = {}
+    for w in windows:
+        buckets.setdefault(1 << int(w[3] - w[2]).bit_length(), []).append(w)
+
+    rows: list = [None] * len(scales)
+    for group in buckets.values():
+        lo_b = min(w[2] for w in group)
+        hi_b = max(w[3] for w in group)
+        bank = np.zeros((2 * len(group), hi_b - lo_b + 1))
+        for r, (si, a, lo, hi) in enumerate(group):
+            offsets = np.arange(lo, hi + 1)  # i - t
+            k = np.conj(np.asarray(wav.psi(jnp.asarray(offsets * dt / a)))) / math.sqrt(a) * dt
+            bank[r, lo - lo_b : hi - lo_b + 1] = k.real
+            bank[len(group) + r, lo - lo_b : hi - lo_b + 1] = k.imag
+        # coef[t] = sum_d bank[d] * x[t + lo_b + d] with zero padding at the
+        # signal edges (== the reference's index clamping)
+        padded = jnp.pad(flat, [(0, 0), (max(0, -lo_b), max(0, hi_b))])
+        start = max(lo_b, 0)  # correlation output offset of coefficient t=0
+        cc = _conv_valid_bank(padded, bank, padded.dtype)[:, :, start : start + n]
+        for r, (si, _a, _lo, _hi) in enumerate(group):
+            rows[si] = (cc[:, r] + 1j * cc[:, len(group) + r]).reshape(lead + (n,))
     res = jnp.stack(rows, axis=-2)
     time_axis = jnp.arange(n) / fs
     return CWTResult(res, jnp.asarray(scales), time_axis, fs, wav.name)
