@@ -119,11 +119,14 @@ def main():
     batch, n = 64, 65536
     x = jax.device_put(jnp.asarray(rng.standard_normal((batch, n)), dtype=jnp.float32))
     # sum over the level axis so every level's coefficients are live (no DCE)
-    dt = bench_op(lambda a: jw.modwt(a, "Daubechies 4", 5).sum(axis=-2), x)  # AUTO -> Pallas on TPU
+    dt = bench_op(lambda a: jw.modwt(a, "Daubechies 4", 5).sum(axis=-2), x)  # AUTO -> MXU tiles on TPU
     modwt_msps = batch * n / dt / 1e6
     details["modwt_db4_L5"] = {"batch": batch, "n": n, "ms": dt * 1e3, "Msamples_per_s": round(modwt_msps, 1)}
     dt_fft = bench_op(lambda a: jw.modwt(a, "Daubechies 4", 5, method=jw.ConvolutionMethod.FFT).sum(axis=-2), x)
     details["modwt_db4_L5_fft"] = {"ms": dt_fft * 1e3, "Msamples_per_s": round(batch * n / dt_fft / 1e6, 1)}
+    if dev.platform != "cpu":
+        dt_p = bench_op(lambda a: jw.modwt(a, "Daubechies 4", 5, method=jw.ConvolutionMethod.PALLAS).sum(axis=-2), x)
+        details["modwt_db4_L5_pallas"] = {"ms": dt_p * 1e3, "Msamples_per_s": round(batch * n / dt_p / 1e6, 1)}
 
     # --- 2D FWT on 2048x2048 (config #4 single-chip) ----------------------
     from jwave_tpu.transforms.fwt import fwt
@@ -174,7 +177,7 @@ def main():
 
 def sweep():
     """Reproduce the reference's performance-test sweeps (SURVEY.md §6):
-    MODWT direct-vs-FFT-vs-Pallas over sizes 64..8192
+    MODWT direct-vs-FFT-vs-Pallas-vs-MXU over sizes 64..8192
     (MODWTFFTPerformanceTest.java:51-76), WPT scaling 512..65536
     (ParallelWPTPerformanceTest.java:112), CWT scale-count scaling 10..100
     (CWT_PARALLEL_PERFORMANCE.md)."""
@@ -183,13 +186,14 @@ def sweep():
     import jwave_tpu as jw
 
     rng = np.random.default_rng(0)
-    print("# MODWT db4 L4: direct vs FFT vs Pallas (batch 8)")
+    print("# MODWT db4 L4: direct vs FFT vs Pallas vs MXU (batch 8)")
     for n in (64, 256, 1024, 8192):
         x = jnp.asarray(rng.standard_normal((8, n)), dtype=jnp.float32)
         row = {"n": n}
         for label, method in [("direct", jw.ConvolutionMethod.DIRECT),
                               ("fft", jw.ConvolutionMethod.FFT),
-                              ("pallas", jw.ConvolutionMethod.PALLAS)]:
+                              ("pallas", jw.ConvolutionMethod.PALLAS),
+                              ("mxu", jw.ConvolutionMethod.MXU)]:
             try:
                 dt = bench_op(lambda a, m=method: jw.modwt(a, "db4", 4, method=m).sum(axis=-2), x, k=64)
                 row[label] = round(dt * 1e6, 1)

@@ -46,12 +46,14 @@ DEFAULT_FFT_THRESHOLD = 4096
 
 class ConvolutionMethod(Enum):
     """MODWTTransform.ConvolutionMethod (MODWTTransform.java:149-153), plus
-    the TPU-native PALLAS variant (fused VMEM-resident roll/FMA cascade)."""
+    two TPU-native variants: MXU (composite-filter tile matmuls — the hot
+    path, ops.mxu_modwt) and PALLAS (fused VMEM-resident roll/FMA cascade)."""
 
     AUTO = "auto"
     DIRECT = "direct"
     FFT = "fft"
     PALLAS = "pallas"
+    MXU = "mxu"
 
 
 def _modwt_base_filters(wavelet):
@@ -108,6 +110,23 @@ def _pallas_applicable(x, level: int) -> bool:
     from ..ops.pallas_modwt import vmem_bytes_needed
 
     return vmem_bytes_needed(n, x.dtype) <= 40 * 2**20
+
+
+def _mxu_auto(x, wavelet, level: int) -> bool:
+    """AUTO routes to the MXU composite path on TPU backends for f32/bf16
+    lane-aligned inputs while the tile budget holds (ops.mxu_modwt)."""
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False  # on CPU the FFT path wins; keep golden semantics stable
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    n = x.shape[-1]
+    if n % 128 != 0:
+        return False
+    from ..ops.mxu_modwt import MXU_TILE_BUDGET, mxu_tile_count
+
+    return mxu_tile_count(wavelet, level, n) <= MXU_TILE_BUDGET
 
 
 _spec = filter_spectrum  # shared wrap/pad + rfft semantics (ops.circular)
@@ -198,7 +217,24 @@ def modwt(
         return jnp.zeros(x.shape[:-1] + (level + 1, 0), dtype=x.dtype)
     _validate_level(n, level, "modwt")
 
-    # TPU-native path: fused VMEM-resident roll/FMA cascade (Pallas)
+    # TPU hot path: composite-filter MXU tile matmuls (ops.mxu_modwt)
+    if method is ConvolutionMethod.MXU or (
+        method is ConvolutionMethod.AUTO and _mxu_auto(x, wavelet, level)
+    ):
+        from ..ops.mxu_modwt import modwt_mxu, mxu_applicable
+
+        if not mxu_applicable(x, level):
+            raise JWaveFailure(
+                "modwt - ConvolutionMethod.MXU needs a lane-aligned length "
+                "(N % 128 == 0); use AUTO to fall back automatically"
+            )
+        lead = x.shape[:-1]
+        flat = x.reshape((-1, n))
+        return modwt_mxu(flat, wavelet, level).reshape(lead + (level + 1, n))
+
+    # TPU deep-level path: fused VMEM-resident roll/FMA cascade (Pallas) —
+    # cascade cost is O(J*M) per sample vs the MXU path's O(2^J*M/128), so
+    # AUTO prefers it once the composite supports blow the MXU tile budget
     if method is ConvolutionMethod.PALLAS or (
         method is ConvolutionMethod.AUTO and _pallas_applicable(x, level)
     ):
@@ -257,6 +293,20 @@ def imodwt(
     n = coeffs.shape[-1]
     if level < 1:
         raise JWaveFailure("imodwt - need at least level 1 (2 rows)")
+
+    if method is ConvolutionMethod.MXU or (
+        method is ConvolutionMethod.AUTO and _mxu_auto(coeffs, wavelet, level)
+    ):
+        from ..ops.mxu_modwt import imodwt_mxu, mxu_applicable
+
+        if not mxu_applicable(coeffs, level):
+            raise JWaveFailure(
+                "imodwt - ConvolutionMethod.MXU needs a lane-aligned length "
+                "(N % 128 == 0); use AUTO to fall back automatically"
+            )
+        lead = coeffs.shape[:-2]
+        flat = coeffs.reshape((-1, level + 1, n))
+        return imodwt_mxu(flat, wavelet).reshape(lead + (n,))
 
     if method is ConvolutionMethod.PALLAS or (
         method is ConvolutionMethod.AUTO and _pallas_applicable(coeffs, level)
