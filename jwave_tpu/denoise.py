@@ -32,24 +32,81 @@ def mad_sigma(detail):
     return jnp.median(jnp.abs(detail), axis=-1) / 0.6745
 
 
-def denoise(x, wavelet="db4", level: int = 4, mode: str = "soft", threshold=None):
+def sure_threshold(band, sigma):
+    """Per-band SureShrink threshold (Donoho–Johnstone 'heursure').
+
+    Minimises Stein's unbiased risk estimate for soft thresholding of
+    ``band`` (…, N) with noise scale ``sigma`` (broadcastable leading
+    shape). For sparse bands (energy test below the log-term) SURE's
+    variance swamps the signal and the universal threshold is used instead.
+    Fully vectorised (one sort + cumsum per band), jittable.
+    """
+    n = band.shape[-1]
+    sigma = jnp.asarray(sigma)[..., None]
+    y = band / jnp.where(sigma > 0, sigma, 1.0)
+    a = jnp.sort(jnp.abs(y), axis=-1)  # ascending candidates t = a[k]
+    a2 = a * a
+    csum = jnp.cumsum(a2, axis=-1)
+    k = jnp.arange(n)
+    # SURE(t=a[k]) = N - 2(k+1) + sum_i min(y_i^2, a[k]^2)
+    risk = n - 2.0 * (k + 1.0) + csum + (n - 1.0 - k) * a2
+    t_sure = jnp.take_along_axis(a, jnp.argmin(risk, axis=-1)[..., None], axis=-1)[..., 0]
+    t_univ = math.sqrt(2.0 * math.log(max(n, 2)))
+    # hybrid test: is there enough signal energy for SURE to be reliable?
+    eta = (jnp.sum(a2, axis=-1) - n) / n
+    crit = (math.log2(max(n, 2)) ** 1.5) / math.sqrt(n)
+    t = jnp.where(eta < crit, t_univ, jnp.minimum(t_sure, t_univ))
+    return t * sigma[..., 0]
+
+
+def bayes_threshold(band, sigma):
+    """Per-band BayesShrink threshold tau = sigma^2 / sigma_x with
+    sigma_x^2 = max(E[W^2] - sigma^2, 0) (Chang–Yu–Vetterli). When the band
+    is all noise (sigma_x = 0) everything should go: tau = max|W|."""
+    sigma = jnp.asarray(sigma)
+    var_y = jnp.mean(band * band, axis=-1)
+    sigma_x = jnp.sqrt(jnp.maximum(var_y - sigma * sigma, 0.0))
+    kill_all = jnp.max(jnp.abs(band), axis=-1) + 1.0
+    return jnp.where(sigma_x > 0, sigma * sigma / jnp.where(sigma_x > 0, sigma_x, 1.0), kill_all)
+
+
+def denoise(x, wavelet="db4", level: int = 4, mode: str = "soft", threshold=None,
+            method: str = "universal"):
     """MODWT wavelet shrinkage along the last axis.
 
-    ``threshold=None`` uses the universal threshold sigma*sqrt(2 ln N) with
-    sigma estimated per level-1 detail band via MAD. ``mode`` is 'soft' or
-    'hard'. Returns the denoised signal (same shape/dtype as ``x``).
+    ``method`` selects the threshold rule when ``threshold`` is None:
+    'universal' (VisuShrink, sigma*sqrt(2 ln N), one global tau), 'sure'
+    (per-band hybrid SureShrink), or 'bayes' (per-band BayesShrink). Noise
+    scale sigma comes from the finest detail band via MAD in every case.
+    ``mode`` is 'soft' or 'hard'. Returns the denoised signal (same
+    shape/dtype as ``x``).
     """
     if mode not in ("soft", "hard"):
         raise JWaveFailure(f"denoise - unknown mode {mode!r} (use 'soft' or 'hard')")
+    if method not in ("universal", "sure", "bayes"):
+        raise JWaveFailure(
+            f"denoise - unknown method {method!r} (use 'universal', 'sure' or 'bayes')"
+        )
     coeffs = modwt(x, wavelet, level)  # (..., J+1, N)
     n = coeffs.shape[-1]
-    if threshold is None:
-        sigma = mad_sigma(coeffs[..., 0, :])  # finest detail band
-        tau = sigma * math.sqrt(2.0 * math.log(max(n, 2)))
+    details = coeffs[..., :level, :]
+    if threshold is not None:
+        tau = jnp.asarray(threshold)[..., None, None]
     else:
-        tau = jnp.asarray(threshold)
-    tau = jnp.asarray(tau)[..., None, None]
+        # MODWT level-j detail noise scale is sigma/2^(j/2) (the rescaled
+        # filters carry 1/sqrt(2) per level); MAD of band 1 estimates
+        # sigma/sqrt(2), deeper bands scale down by sqrt(2) per level
+        sigma1 = mad_sigma(coeffs[..., 0, :])  # finest detail band
+        scale_j = jnp.asarray(
+            [2.0 ** (-(j - 1) / 2.0) for j in range(1, level + 1)], coeffs.dtype
+        )
+        sigma_j = sigma1[..., None] * scale_j  # (..., level)
+        if method == "universal":
+            tau = (sigma_j * math.sqrt(2.0 * math.log(max(n, 2))))[..., None]
+        elif method == "sure":
+            tau = sure_threshold(details, sigma_j)[..., None]
+        else:
+            tau = bayes_threshold(details, sigma_j)[..., None]
     shrink = soft_threshold if mode == "soft" else hard_threshold
-    details = shrink(coeffs[..., :level, :], tau)
-    kept = jnp.concatenate([details, coeffs[..., level:, :]], axis=-2)  # V_J untouched
+    kept = jnp.concatenate([shrink(details, tau), coeffs[..., level:, :]], axis=-2)  # V_J untouched
     return imodwt(kept, wavelet)

@@ -46,3 +46,57 @@ def test_denoise_explicit_threshold_zero_is_identity(rng):
 def test_denoise_bad_mode():
     with pytest.raises(jw.JWaveFailure):
         denoise(jnp.zeros(64), "Haar", 2, mode="medium")
+
+
+def test_denoise_bad_method():
+    with pytest.raises(jw.JWaveFailure):
+        denoise(jnp.zeros(64), "Haar", 2, method="magic")
+
+
+@pytest.mark.parametrize("method", ["sure", "bayes"])
+def test_adaptive_methods_improve_mse(method, rng):
+    n = 2048
+    t = np.linspace(0, 4 * np.pi, n)
+    clean = np.sin(t) + 0.5 * np.sin(3 * t)
+    noisy = clean + 0.3 * rng.standard_normal(n)
+    den = np.asarray(denoise(jnp.asarray(noisy), "db4", 4, method=method))
+    assert np.mean((den - clean) ** 2) < 0.5 * np.mean((noisy - clean) ** 2)
+
+
+def test_sure_beats_universal_on_dense_signal(rng):
+    # a dense, high-energy signal: the universal threshold oversmooths,
+    # SURE adapts the per-band threshold down (Donoho-Johnstone's motivation)
+    n = 4096
+    t = np.arange(n) / n
+    clean = np.sign(np.sin(2 * np.pi * 30 * t)) + np.sin(2 * np.pi * 7 * t)
+    noisy = clean + 0.4 * rng.standard_normal(n)
+    mse = {m: np.mean((np.asarray(denoise(jnp.asarray(noisy), "sym8", 5, method=m)) - clean) ** 2)
+           for m in ("universal", "sure")}
+    assert mse["sure"] < mse["universal"]
+
+
+def test_sure_threshold_pure_noise_goes_universal(rng):
+    from jwave_tpu.denoise import sure_threshold
+
+    band = jnp.asarray(rng.standard_normal((3, 1024)))
+    tau = np.asarray(sure_threshold(band, jnp.ones(3)))
+    univ = np.sqrt(2 * np.log(1024))
+    # sparse-energy hybrid test must kick in: tau == universal for pure noise
+    np.testing.assert_allclose(tau, univ, rtol=1e-6)
+
+
+def test_bayes_threshold_kills_pure_noise_band(rng):
+    from jwave_tpu.denoise import bayes_threshold
+
+    band = jnp.asarray(rng.standard_normal(1024))
+    tau = float(bayes_threshold(band, jnp.asarray(1.0)))
+    assert tau > float(jnp.max(jnp.abs(band)))  # everything thresholded away
+
+
+def test_adaptive_methods_jit(rng):
+    import jax
+
+    x = jnp.asarray(rng.standard_normal(512))
+    for method in ("sure", "bayes"):
+        out = jax.jit(lambda a, m=method: denoise(a, "db2", 3, method=m))(x)
+        assert out.shape == x.shape and bool(jnp.all(jnp.isfinite(out)))
