@@ -50,3 +50,21 @@ def conv_precision():
         "high": lax.Precision.HIGH,
         "highest": lax.Precision.HIGHEST,
     }[_CONV_PRECISION]
+
+
+_MXU_BUTTERFLY = "auto"
+
+
+def set_mxu_butterfly(mode: str):
+    """Route the FWT/WPT butterfly through MXU tile matmuls
+    (ops.mxu_butterfly): 'auto' (TPU backends, f32/bf16, lane-aligned
+    lengths — the default), 'on' (force on any backend/dtype — tests use
+    this on the f64 CPU backend), or 'off' (always the XLA conv form)."""
+    global _MXU_BUTTERFLY
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"unknown mxu_butterfly mode {mode!r}")
+    _MXU_BUTTERFLY = mode
+
+
+def mxu_butterfly() -> str:
+    return _MXU_BUTTERFLY

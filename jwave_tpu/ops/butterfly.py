@@ -65,6 +65,10 @@ def butterfly_forward(x, dec_lo: np.ndarray, dec_hi: np.ndarray):
     x = ensure_float(x)
     h = x.shape[-1]
     m = int(dec_lo.shape[0])
+    from .mxu_butterfly import butterfly_forward_mxu, mxu_butterfly_eligible
+
+    if mxu_butterfly_eligible(x, m):
+        return butterfly_forward_mxu(x, dec_lo, dec_hi)
     half = h // 2
     dtype = x.dtype
     # largest index accessed: 2*(half-1) + (m-1) = h + m - 3  -> need h+m-2 samples
@@ -96,6 +100,10 @@ def butterfly_reverse(y, rec_lo: np.ndarray, rec_hi: np.ndarray, recon_gain: flo
     y = ensure_float(y)
     h = y.shape[-1]
     m = int(rec_lo.shape[0])
+    from .mxu_butterfly import butterfly_reverse_mxu, mxu_butterfly_eligible
+
+    if mxu_butterfly_eligible(y, m):
+        return butterfly_reverse_mxu(y, rec_lo, rec_hi, recon_gain)
     half = h // 2
     dtype = y.dtype
     a = y[..., :half]

@@ -1,0 +1,180 @@
+"""MXU-tiled FWT/WPT butterfly — stride-2 analysis/synthesis as tile matmuls.
+
+Reference semantics: jwave/transforms/wavelets/Wavelet.java:236-303 — the
+circular stride-2 analysis pair
+
+    approx[i] = sum_m x[(2i+m) mod h] * dec_lo[m]
+    detail[i] = sum_m x[(2i+m) mod h] * dec_hi[m]
+
+and its synthesis adjoint. The XLA stride-2 conv formulation
+(``ops.butterfly``) is correct everywhere but tops out near ~3 Gsamples/s
+at HIGHEST precision: the conv emitter feeds the MXU one input channel at a
+time, leaving the systolic array mostly idle.
+
+TPU formulation: tile the signal to (t, 128) lanes. Every 128-lane output
+tile k covers inputs ``x[256k + 2i + m] = x3[(2k+e) mod t, l]`` with
+``m = 128e + l - 2i``, so the butterfly is a short sum over ``e`` of dense
+matmuls with constant tiles ``W_e[l, s*128 + i] = f_s[128e + l - 2i]``
+(both subbands share one RHS) that saturate the MXU. To minimise HBM
+gather traffic the ``e`` terms are grouped in *pairs*: the signal viewed as
+(to, 256) tile-pairs gives e=2s,2s+1 as ONE contiguous (256, 256) matmul of
+the pair array rolled by s — for every shipped bank (M <= 76, so E <= 3)
+that is one contiguous read plus one rolled 128-lane tail read per level.
+Circular wrap falls out of ``jnp.roll`` on the pair axis, valid even when
+the filter outruns the signal (tap sums accumulate across ``e`` exactly
+like the reference's modular indexing). The synthesis pass reuses the same
+tile construction transposed (adjoint), scattering pair blocks back with
+positive rolls. Requires h % 256 == 0; callers fall back to the conv path
+otherwise (ops.butterfly routes via ``mxu_butterfly_eligible``).
+
+Measured (v5e, 64x65536 f32, db4, HIGHEST): the conv butterfly runs the
+8-level FWT in 1.37 ms (~3 Gsamples/s); this formulation's measured numbers
+are tracked in docs/PERFORMANCE.md. 2D/3D/WPT-unfused paths inherit the
+same kernel through ops.butterfly.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from .. import config as _config
+
+LANES = 128
+
+
+@lru_cache(maxsize=256)
+def _tile_bank(lo_bytes: bytes, hi_bytes: bytes) -> np.ndarray:
+    """(E, 128, 256) f64 analysis tiles W_e[l, s*128 + i] = f_s[128e + l - 2i].
+
+    The synthesis pass uses the same construction on the rec filters,
+    transposed per tile (adjoint).
+    """
+    lo = np.frombuffer(lo_bytes, dtype=np.float64)
+    hi = np.frombuffer(hi_bytes, dtype=np.float64)
+    m = lo.shape[0]
+    e_count = (253 + m) // 128 + 1
+    i = np.arange(LANES)[None, :]
+    l = np.arange(LANES)[:, None]
+    w = np.zeros((e_count, LANES, 2 * LANES))
+    for e in range(e_count):
+        idx = 128 * e + l - 2 * i  # (128, 128), in [-254, 128*e + 127]
+        valid = (idx >= 0) & (idx < m)
+        safe = np.clip(idx, 0, m - 1)
+        w[e, :, :LANES] = np.where(valid, lo[safe], 0.0)
+        w[e, :, LANES:] = np.where(valid, hi[safe], 0.0)
+    return w
+
+
+def _bank_for(f_lo, f_hi) -> np.ndarray:
+    lo = np.ascontiguousarray(np.asarray(f_lo, dtype=np.float64))
+    hi = np.ascontiguousarray(np.asarray(f_hi, dtype=np.float64))
+    return _tile_bank(lo.tobytes(), hi.tobytes())
+
+
+def mxu_butterfly_eligible(x, m: int) -> bool:
+    """Routing policy for ops.butterfly: config dial + shape/backend gates."""
+    mode = _config.mxu_butterfly()
+    if mode == "off":
+        return False
+    h = x.shape[-1]
+    if h % (2 * LANES) != 0 or h < 2 * LANES:
+        return False
+    if mode == "on":
+        return True
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon") and x.dtype in (
+        jnp.float32,
+        jnp.bfloat16,
+    )
+
+
+def _dot(a, w, precision):
+    return lax.dot_general(
+        a, w, (((a.ndim - 1,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=a.dtype if a.dtype == jnp.float64 else jnp.float32,
+    )
+
+
+def butterfly_forward_mxu(x, dec_lo, dec_hi, precision=None):
+    """Analysis butterfly on the full last axis (h % 256 == 0), batched.
+
+    Same contract/layout as ops.butterfly.butterfly_forward: returns
+    (..., h) as [approx | detail].
+    """
+    if precision is None:
+        precision = _config.conv_precision()
+    h = x.shape[-1]
+    to = h // (2 * LANES)
+    lead = x.shape[:-1]
+    bank = _bank_for(dec_lo, dec_hi)
+    e_count = bank.shape[0]
+    xp = x.reshape((-1, to, 2 * LANES))  # tile pairs (2k, 2k+1)
+    # accumulate the subbands separately so each lands contiguous — the
+    # fused (256,256) RHS would interleave a/d tiles and the post-matmul
+    # column deinterleave costs more than the second matmul issue
+    acc_a = acc_d = None
+    for s in range(e_count // 2):
+        # e = 2s, 2s+1 together: pair array rolled by s, one (256,.) matmul
+        w = np.concatenate([bank[2 * s], bank[2 * s + 1]])
+        src = (jnp.roll(xp, -s, axis=1) if s else xp).reshape(-1, 2 * LANES)
+        ta = _dot(src, jnp.asarray(w[:, :LANES], x.dtype), precision)
+        td = _dot(src, jnp.asarray(w[:, LANES:], x.dtype), precision)
+        acc_a = ta if acc_a is None else acc_a + ta
+        acc_d = td if acc_d is None else acc_d + td
+    if e_count % 2:
+        # odd tail e = E-1 (tile 2k + E-1, first half of pair k + (E-1)//2)
+        s = e_count // 2
+        tail = jnp.roll(xp, -s, axis=1)[:, :, :LANES].reshape(-1, LANES)
+        w = bank[e_count - 1]
+        ta = _dot(tail, jnp.asarray(w[:, :LANES], x.dtype), precision)
+        td = _dot(tail, jnp.asarray(w[:, LANES:], x.dtype), precision)
+        acc_a = ta if acc_a is None else acc_a + ta
+        acc_d = td if acc_d is None else acc_d + td
+    a = acc_a.astype(x.dtype).reshape((-1, to * LANES))
+    d = acc_d.astype(x.dtype).reshape((-1, to * LANES))
+    return jnp.concatenate([a, d], axis=-1).reshape(lead + (h,))
+
+
+def butterfly_reverse_mxu(y, rec_lo, rec_hi, recon_gain: float = 1.0, precision=None):
+    """Synthesis butterfly (adjoint of the analysis tiles, rec filters).
+
+    x[(2i+j) mod h] += a[i]*rec_lo[j] + d[i]*rec_hi[j]: pair blocks of the
+    transposed tiles produce contiguous (2k+2s, 2k+2s+1) tile pairs in one
+    matmul, scattered back with a +s pair roll.
+    """
+    if precision is None:
+        precision = _config.conv_precision()
+    h = y.shape[-1]
+    to = h // (2 * LANES)
+    half = h // 2
+    lead = y.shape[:-1]
+    bank = _bank_for(rec_lo, rec_hi)
+    e_count = bank.shape[0]
+    y2 = y.reshape((-1, h))
+    a3 = y2[:, :half].reshape(-1, to, LANES)
+    d3 = y2[:, half:].reshape(-1, to, LANES)
+    z = jnp.concatenate([a3, d3], axis=-1).reshape(-1, 2 * LANES)
+    b = a3.shape[0]
+    acc = None
+    for s in range(e_count // 2):
+        # V pair block (256, 256): columns = tiles (2k+2s, 2k+2s+1)
+        v = jnp.asarray(np.concatenate([bank[2 * s].T, bank[2 * s + 1].T], axis=1), y.dtype)
+        u = _dot(z, v, precision).astype(y.dtype).reshape(b, to, 2 * LANES)
+        u = jnp.roll(u, s, axis=1) if s else u
+        acc = u if acc is None else acc + u
+    if e_count % 2:
+        s = e_count // 2
+        u = _dot(z, jnp.asarray(bank[e_count - 1].T, y.dtype), precision)
+        u = u.astype(y.dtype).reshape(b, to, LANES)
+        exp = jnp.concatenate([u, jnp.zeros_like(u)], axis=-1)
+        acc_t = jnp.roll(exp, s, axis=1)
+        acc = acc_t if acc is None else acc + acc_t
+    res = acc.reshape(lead + (h,))
+    if recon_gain != 1.0:
+        res = res * jnp.asarray(recon_gain, res.dtype)
+    return res

@@ -1,0 +1,136 @@
+"""MXU tile-matmul butterfly (ops.mxu_butterfly) vs the XLA conv butterfly
+(ops.butterfly), exercised on the f64 CPU backend via the config dial so
+agreement is at roundoff. Semantics: Wavelet.java:236-303."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import jwave_tpu as jw
+from jwave_tpu import config
+from jwave_tpu.filters import get_filter
+from jwave_tpu.ops.butterfly import butterfly_forward, butterfly_reverse
+from jwave_tpu.ops.mxu_butterfly import (
+    butterfly_forward_mxu,
+    butterfly_reverse_mxu,
+    mxu_butterfly_eligible,
+)
+
+RNG = np.random.default_rng(20260818)
+
+
+@pytest.fixture
+def force_mxu():
+    config.set_mxu_butterfly("on")
+    yield
+    config.set_mxu_butterfly("auto")
+
+
+@pytest.mark.parametrize(
+    "wavelet", ["Haar", "Daubechies 4", "Daubechies 20", "Symlet 8",
+                "Coiflet 5", "BiOrthogonal 3/5", "Legendre 3", "Discrete Meyer"]
+)
+@pytest.mark.parametrize("h", [256, 512, 2048])
+def test_butterfly_matches_conv(wavelet, h):
+    fb = get_filter(wavelet)
+    x = jnp.asarray(RNG.standard_normal((3, h)))
+    np.testing.assert_allclose(
+        butterfly_forward_mxu(x, fb.dec_lo, fb.dec_hi),
+        butterfly_forward(x, fb.dec_lo, fb.dec_hi),
+        atol=1e-12,
+    )
+    y = jnp.asarray(RNG.standard_normal((3, h)))
+    np.testing.assert_allclose(
+        butterfly_reverse_mxu(y, fb.rec_lo, fb.rec_hi, fb.recon_gain),
+        butterfly_reverse(y, fb.rec_lo, fb.rec_hi, fb.recon_gain),
+        atol=1e-12,
+    )
+
+
+def test_wrap_when_filter_outruns_tiles():
+    # db20 (M=40 -> E=3) on h=256 (only 2 tiles): the e=2 term wraps onto
+    # tile 0, matching the reference's (2i+m) mod h indexing
+    fb = get_filter("Daubechies 20")
+    x = jnp.asarray(RNG.standard_normal((2, 256)))
+    np.testing.assert_allclose(
+        butterfly_forward_mxu(x, fb.dec_lo, fb.dec_hi),
+        butterfly_forward(x, fb.dec_lo, fb.dec_hi),
+        atol=1e-12,
+    )
+
+
+def test_fwt_pyramid_through_dial(force_mxu):
+    x = jnp.asarray(RNG.standard_normal((4, 4096)))
+    config.set_mxu_butterfly("off")
+    want = jw.fwt(x, "db4", 8)
+    config.set_mxu_butterfly("on")
+    got = jw.fwt(x, "db4", 8)
+    np.testing.assert_allclose(got, want, atol=1e-11)
+    rec = jw.ifwt(got, "db4", 8)
+    np.testing.assert_allclose(rec, x, atol=1e-10)
+
+
+def test_wpt_unfused_through_dial(force_mxu):
+    x = jnp.asarray(RNG.standard_normal((2, 2048)))
+    config.set_mxu_butterfly("off")
+    want = jw.wpt(x, "sym5", 3, fused=False)
+    config.set_mxu_butterfly("on")
+    got = jw.wpt(x, "sym5", 3, fused=False)
+    np.testing.assert_allclose(got, want, atol=1e-11)
+    rec = jw.iwpt(got, "sym5", 3, fused=False)
+    np.testing.assert_allclose(rec, x, atol=1e-10)
+
+
+def test_2d_through_dial(force_mxu):
+    from jwave_tpu.transforms.ndim import forward_2d, reverse_2d
+
+    img = jnp.asarray(RNG.standard_normal((256, 512)))
+    fwd = lambda v, level: jw.fwt(v, "db4", level)
+    rev = lambda v, level: jw.ifwt(v, "db4", level)
+    got = forward_2d(fwd, img, 3, 3)
+    config.set_mxu_butterfly("off")
+    want = forward_2d(fwd, img, 3, 3)
+    config.set_mxu_butterfly("on")
+    np.testing.assert_allclose(got, want, atol=1e-11)
+    np.testing.assert_allclose(reverse_2d(rev, got, 3, 3), img, atol=1e-10)
+
+
+def test_jit_grad_vmap(force_mxu):
+    x = jnp.asarray(RNG.standard_normal((2, 512)))
+    got = jax.jit(lambda a: jw.fwt(a, "db4", 4))(x)
+    config.set_mxu_butterfly("off")
+    want = jw.fwt(x, "db4", 4)
+    config.set_mxu_butterfly("on")
+    np.testing.assert_allclose(got, want, atol=1e-11)
+    g = jax.grad(lambda a: jw.fwt(a, "db4", 4).sum())(x)
+    assert g.shape == x.shape and bool(jnp.all(jnp.isfinite(g)))
+    v = jax.vmap(lambda a: jw.fwt(a, "db4", 4))(x.reshape(2, 1, 512))
+    assert v.shape == (2, 1, 512)
+
+
+def test_eligibility_gates():
+    x64 = jnp.zeros((2, 192))  # not a multiple of 256
+    assert not mxu_butterfly_eligible(x64, 8)
+    x = jnp.zeros((2, 512))
+    config.set_mxu_butterfly("off")
+    try:
+        assert not mxu_butterfly_eligible(x, 8)
+    finally:
+        config.set_mxu_butterfly("auto")
+    # auto on CPU: stays on the conv path (golden stability)
+    assert not mxu_butterfly_eligible(x, 8)
+    with pytest.raises(ValueError):
+        config.set_mxu_butterfly("sometimes")
+
+
+def test_odd_levels_fall_back_small_heads(force_mxu):
+    # full-depth FWT: heads shrink to h < 256 where the conv path takes
+    # over mid-pyramid; the mix must still invert exactly
+    x = jnp.asarray(RNG.standard_normal((3, 1024)))
+    got = jw.fwt(x, "Haar", 10)
+    rec = jw.ifwt(got, "Haar", 10)
+    np.testing.assert_allclose(rec, x, atol=1e-10)
+    config.set_mxu_butterfly("off")
+    want = jw.fwt(x, "Haar", 10)
+    config.set_mxu_butterfly("on")
+    np.testing.assert_allclose(got, want, atol=1e-11)
