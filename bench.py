@@ -139,6 +139,17 @@ def main():
     # --- 1D FWT multi-level (BASELINE config #2: 64K samples, 8 levels) ---
     dt1 = bench_op(lambda a: fwt(a, "Daubechies 4", 8), x)
     details["fwt1d_db4_L8"] = {"ms": dt1 * 1e3, "Msamples_per_s": round(batch * n / dt1 / 1e6, 1)}
+    if dev.platform != "cpu":
+        # conv-butterfly baseline (MXU tile butterfly is the AUTO default on TPU)
+        from jwave_tpu import config as _cfg
+
+        _cfg.set_mxu_butterfly("off")
+        try:
+            dt1c = bench_op(lambda a: fwt(a, "Daubechies 4", 8), x)
+            details["fwt1d_db4_L8_conv"] = {"ms": dt1c * 1e3,
+                                            "Msamples_per_s": round(batch * n / dt1c / 1e6, 1)}
+        finally:
+            _cfg.set_mxu_butterfly("auto")
 
     # --- 3D FWT on a 256^3 volume (config #4) -----------------------------
     from jwave_tpu.transforms.ndim import forward_3d
@@ -152,6 +163,16 @@ def main():
     # --- WPT 6-level ------------------------------------------------------
     dt3 = bench_op(lambda a: jw.wpt(a, "Daubechies 4", 6), x)
     details["wpt_db4_L6"] = {"ms": dt3 * 1e3, "Msamples_per_s": round(batch * n / dt3 / 1e6, 1)}
+    if dev.platform != "cpu":
+        from jwave_tpu import config as _cfg
+
+        _cfg.set_mxu_butterfly("off")
+        try:
+            dt3c = bench_op(lambda a: jw.wpt(a, "Daubechies 4", 6), x)
+            details["wpt_db4_L6_conv"] = {"ms": dt3c * 1e3,
+                                          "Msamples_per_s": round(batch * n / dt3c / 1e6, 1)}
+        finally:
+            _cfg.set_mxu_butterfly("auto")
 
     # --- CWT Morlet 64-scale scalogram on 1M-sample chirp (config #5) -----
     nc = 1 << 20

@@ -59,6 +59,10 @@ def _wrap_bank(bank: np.ndarray, n: int) -> np.ndarray:
 def wpt_fused_forward(x, dec_lo, dec_hi, levels: int):
     """L levels of WPT in one strided circular conv. x: (..., N)."""
     x = ensure_float(x)
+    from .mxu_wpt import mxu_wpt_eligible, wpt_fused_forward_mxu
+
+    if mxu_wpt_eligible(x, levels):
+        return wpt_fused_forward_mxu(x, dec_lo, dec_hi, levels)
     n = x.shape[-1]
     stride = 1 << levels
     bank = _wrap_bank(composite_filters(dec_lo, dec_hi, levels), n)
@@ -86,6 +90,10 @@ def wpt_fused_forward(x, dec_lo, dec_hi, levels: int):
 def wpt_fused_inverse(y, rec_lo, rec_hi, levels: int, recon_gain: float = 1.0):
     """Adjoint of :func:`wpt_fused_forward` (synthesis bank, transposed conv)."""
     y = ensure_float(y)
+    from .mxu_wpt import mxu_wpt_eligible, wpt_fused_inverse_mxu
+
+    if mxu_wpt_eligible(y, levels):
+        return wpt_fused_inverse_mxu(y, rec_lo, rec_hi, levels, recon_gain)
     n = y.shape[-1]
     stride = 1 << levels
     h = n // stride

@@ -27,10 +27,12 @@ tile construction transposed (adjoint), scattering pair blocks back with
 positive rolls. Requires h % 256 == 0; callers fall back to the conv path
 otherwise (ops.butterfly routes via ``mxu_butterfly_eligible``).
 
-Measured (v5e, 64x65536 f32, db4, HIGHEST): the conv butterfly runs the
-8-level FWT in 1.37 ms (~3 Gsamples/s); this formulation's measured numbers
-are tracked in docs/PERFORMANCE.md. 2D/3D/WPT-unfused paths inherit the
-same kernel through ops.butterfly.
+Measured (v5e, 64x65536 f32, db4, HIGHEST): 8-level FWT forward 0.285 ms
+= 14.7 Gsamples/s and inverse 0.273 ms = 15.4 Gsamples/s, vs 1.37 ms for
+the conv butterfly (4.8x). The two subbands are accumulated in separate
+matmuls so each lands contiguous — a fused (256,256) RHS plus column
+deinterleave measured ~2.3x slower on the forward pass. 2D/3D/WPT-unfused
+paths inherit the same kernel through ops.butterfly.
 """
 from __future__ import annotations
 
