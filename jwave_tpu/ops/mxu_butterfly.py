@@ -76,13 +76,43 @@ def _bank_for(f_lo, f_hi) -> np.ndarray:
     return _tile_bank(lo.tobytes(), hi.tobytes())
 
 
+@lru_cache(maxsize=512)
+def _dense_bank(lo_bytes: bytes, hi_bytes: bytes, h: int) -> np.ndarray:
+    """(h, h) dense analysis matrix for small heads (h <= 128): column
+    c < h/2 is approx output c, c >= h/2 is detail output c - h/2, with the
+    circular wrap folded in (taps accumulate when the filter outruns h)."""
+    lo = np.frombuffer(lo_bytes, dtype=np.float64)
+    hi = np.frombuffer(hi_bytes, dtype=np.float64)
+    m = lo.shape[0]
+    half = h // 2
+    w = np.zeros((h, h))
+    i = np.arange(half)
+    for t in range(m):
+        rows = (2 * i + t) % h
+        np.add.at(w, (rows, i), lo[t])
+        np.add.at(w, (rows, half + i), hi[t])
+    return w
+
+
+def _dense_for(f_lo, f_hi, h: int) -> np.ndarray:
+    lo = np.ascontiguousarray(np.asarray(f_lo, dtype=np.float64))
+    hi = np.ascontiguousarray(np.asarray(f_hi, dtype=np.float64))
+    return _dense_bank(lo.tobytes(), hi.tobytes(), h)
+
+
 def mxu_butterfly_eligible(x, m: int) -> bool:
-    """Routing policy for ops.butterfly: config dial + shape/backend gates."""
+    """Routing policy for ops.butterfly: config dial + shape/backend gates.
+
+    Two regimes: pair-tiled matmuls for h % 256 == 0, and a single dense
+    (h, h) matmul for small heads (h <= 128, even) — together they cover
+    every level of a pow-2 pyramid, so deep 2D/3D transforms never fall
+    back to the conv emitter mid-pyramid.
+    """
     mode = _config.mxu_butterfly()
     if mode == "off":
         return False
     h = x.shape[-1]
-    if h % (2 * LANES) != 0 or h < 2 * LANES:
+    if not (h % (2 * LANES) == 0 or (h <= LANES and h % 2 == 0 and h >= 4)):
         return False
     if mode == "on":
         return True
@@ -111,8 +141,12 @@ def butterfly_forward_mxu(x, dec_lo, dec_hi, precision=None):
     if precision is None:
         precision = _config.conv_precision()
     h = x.shape[-1]
-    to = h // (2 * LANES)
     lead = x.shape[:-1]
+    if h <= LANES:
+        w = jnp.asarray(_dense_for(dec_lo, dec_hi, h), x.dtype)
+        out = _dot(x.reshape((-1, h)), w, precision)
+        return out.astype(x.dtype).reshape(lead + (h,))
+    to = h // (2 * LANES)
     bank = _bank_for(dec_lo, dec_hi)
     e_count = bank.shape[0]
     xp = x.reshape((-1, to, 2 * LANES))  # tile pairs (2k, 2k+1)
@@ -152,6 +186,14 @@ def butterfly_reverse_mxu(y, rec_lo, rec_hi, recon_gain: float = 1.0, precision=
     if precision is None:
         precision = _config.conv_precision()
     h = y.shape[-1]
+    lead = y.shape[:-1]
+    if h <= LANES:
+        # adjoint of the dense analysis matrix built from the rec filters
+        w = jnp.asarray(_dense_for(rec_lo, rec_hi, h).T, y.dtype)
+        out = _dot(y.reshape((-1, h)), w, precision).astype(y.dtype)
+        if recon_gain != 1.0:
+            out = out * jnp.asarray(recon_gain, out.dtype)
+        return out.reshape(lead + (h,))
     to = h // (2 * LANES)
     half = h // 2
     lead = y.shape[:-1]

@@ -124,8 +124,9 @@ def test_eligibility_gates():
 
 
 def test_odd_levels_fall_back_small_heads(force_mxu):
-    # full-depth FWT: heads shrink to h < 256 where the conv path takes
-    # over mid-pyramid; the mix must still invert exactly
+    # full-depth FWT: heads shrink through the dense small-h regime
+    # (h <= 128) and the h=192-style gap is impossible for pow-2 pyramids;
+    # the mix of pair-tile and dense levels must still invert exactly
     x = jnp.asarray(RNG.standard_normal((3, 1024)))
     got = jw.fwt(x, "Haar", 10)
     rec = jw.ifwt(got, "Haar", 10)
@@ -134,3 +135,38 @@ def test_odd_levels_fall_back_small_heads(force_mxu):
     want = jw.fwt(x, "Haar", 10)
     config.set_mxu_butterfly("on")
     np.testing.assert_allclose(got, want, atol=1e-11)
+
+
+@pytest.mark.parametrize("wavelet", ["Haar", "Daubechies 4", "Daubechies 20",
+                                     "BiOrthogonal 3/5"])
+@pytest.mark.parametrize("h", [4, 16, 64, 128])
+def test_dense_small_head_matches_conv(wavelet, h):
+    # single dense (h, h) matmul regime, incl. filters longer than h
+    # (db20 M=40 > h=16: taps wrap multiple times and accumulate)
+    fb = get_filter(wavelet)
+    x = jnp.asarray(RNG.standard_normal((3, h)))
+    np.testing.assert_allclose(
+        butterfly_forward_mxu(x, fb.dec_lo, fb.dec_hi),
+        butterfly_forward(x, fb.dec_lo, fb.dec_hi),
+        atol=1e-12,
+    )
+    y = jnp.asarray(RNG.standard_normal((3, h)))
+    np.testing.assert_allclose(
+        butterfly_reverse_mxu(y, fb.rec_lo, fb.rec_hi, fb.recon_gain),
+        butterfly_reverse(y, fb.rec_lo, fb.rec_hi, fb.recon_gain),
+        atol=1e-12,
+    )
+
+
+def test_deep_3d_through_dial(force_mxu):
+    from jwave_tpu.transforms.ndim import forward_3d, reverse_3d
+
+    vol = jnp.asarray(RNG.standard_normal((64, 64, 64)))
+    fwd = lambda v, level: jw.fwt(v, "db4", level)
+    rev = lambda v, level: jw.ifwt(v, "db4", level)
+    got = forward_3d(fwd, vol, 4, 4, 4)
+    config.set_mxu_butterfly("off")
+    want = forward_3d(fwd, vol, 4, 4, 4)
+    config.set_mxu_butterfly("on")
+    np.testing.assert_allclose(got, want, atol=1e-11)
+    np.testing.assert_allclose(reverse_3d(rev, got, 4, 4, 4), vol, atol=1e-10)
