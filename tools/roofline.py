@@ -186,8 +186,8 @@ MEASURED_MS = {
     "modwt_db4_L5 (telescoped FFT)": (3.768, modwt_fft_model),
     "fwt1d_db4_L8 (conv)": (1.355, fwt1d_model),
     "fwt1d_db4_L8 (MXU tiles)": (0.288, fwt1d_mxu_model),
-    "fwt2d_db4_L6_2048": (0.675, fwt2d_model),
-    "fwt3d_db4_L4_256": (10.75, fwt3d_model),
+    "fwt2d_db4_L6_2048": (0.624, fwt2d_model),
+    "fwt3d_db4_L4_256": (4.222, fwt3d_model),
     "wpt_db4_L6 (fused conv)": (1.202, wpt_model),
     "wpt_db4_L6 (MXU tiles)": (0.320, wpt_mxu_model),
     "cwt_morlet_64scales_1M": (13.37, cwt_model),
