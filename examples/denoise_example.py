@@ -35,6 +35,17 @@ def main():
     print(f"batched (8, {n}) -> {out.shape}, "
           f"mean MSE {np.mean((out - clean) ** 2):.4f}")
 
+    # 2D: shift-invariant image denoising over the separable MODWT grid
+    from jwave_tpu.denoise import denoise_2d
+
+    m = 128
+    yy, xx = np.mgrid[0:m, 0:m] / m
+    img = np.sin(4 * np.pi * xx) * np.cos(2 * np.pi * yy) + (xx > 0.5)
+    noisy_img = img + 0.3 * rng.standard_normal((m, m))
+    den = np.asarray(denoise_2d(jnp.asarray(noisy_img), "db4", 3, method="sure"))
+    print(f"2D image: noisy MSE {np.mean((noisy_img - img) ** 2):.4f} -> "
+          f"denoised {np.mean((den - img) ** 2):.4f}")
+
 
 if __name__ == "__main__":
     main()

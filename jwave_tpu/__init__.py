@@ -28,7 +28,7 @@ from .api import (
     WaveletTransform,
 )
 from .compress import Compressor, CompressorMagnitude, CompressorPeaksAverage
-from .denoise import denoise, hard_threshold, mad_sigma, soft_threshold
+from .denoise import denoise, denoise_2d, hard_threshold, mad_sigma, soft_threshold
 from .datatypes import (
     Block,
     BlockFull,
@@ -111,7 +111,7 @@ __all__ = [
     "MODWTTransform", "DiscreteFourierTransform", "FastFourierTransform",
     "AncientEgyptianDecomposition", "ContinuousWaveletTransform",
     "Compressor", "CompressorMagnitude", "CompressorPeaksAverage",
-    "denoise", "soft_threshold", "hard_threshold", "mad_sigma",
+    "denoise", "denoise_2d", "soft_threshold", "hard_threshold", "mad_sigma",
     "MorletWavelet", "MexicanHatWavelet", "PaulWavelet", "DOGWavelet",
     "MeyerWavelet", "get_continuous_wavelet",
     "FilterBank", "get_filter", "available_filters", "junit_passing_filters",

@@ -110,3 +110,49 @@ def denoise(x, wavelet="db4", level: int = 4, mode: str = "soft", threshold=None
     shrink = soft_threshold if mode == "soft" else hard_threshold
     kept = jnp.concatenate([shrink(details, tau), coeffs[..., level:, :]], axis=-2)  # V_J untouched
     return imodwt(kept, wavelet)
+
+
+def denoise_2d(img, wavelet="db4", level: int = 3, mode: str = "soft",
+               method: str = "bayes"):
+    """Shift-invariant 2D image denoising via the separable MODWT.
+
+    Decomposes with :func:`~jwave_tpu.transforms.modwt.modwt_2d` into the
+    (J+1) x (J+1) subband grid, thresholds every band except the pure
+    approximation (jr = jc = J), and reconstructs. Per-band noise scale:
+    the 2D separable band (jr, jc) of white noise has scale
+    sigma/2^((jr+jc)/2); sigma is MAD-estimated from the finest diagonal
+    band (j1, j1), whose scale is sigma/2. ``method`` is 'universal',
+    'sure' or 'bayes' (per-band, as in :func:`denoise`). Batched over
+    leading axes, jittable.
+    """
+    from .transforms.modwt import imodwt_2d, modwt_2d
+
+    if mode not in ("soft", "hard"):
+        raise JWaveFailure(f"denoise_2d - unknown mode {mode!r} (use 'soft' or 'hard')")
+    if method not in ("universal", "sure", "bayes"):
+        raise JWaveFailure(
+            f"denoise_2d - unknown method {method!r} (use 'universal', 'sure' or 'bayes')"
+        )
+    r, c = img.shape[-2], img.shape[-1]
+    coeffs = modwt_2d(img, wavelet, level)  # (..., J+1, J+1, R, C)
+    sigma = 2.0 * mad_sigma(coeffs[..., 0, 0, :, :].reshape(coeffs.shape[:-4] + (r * c,)))
+    flat = coeffs.reshape(coeffs.shape[:-2] + (r * c,))  # (..., J+1, J+1, RC)
+    # band (jr, jc) noise scale: sigma * 2^-((jr'+jc')/2) with j' = j+1 for
+    # detail rows (index < level) and j' = level for the approx row/col
+    j_eff = jnp.asarray(
+        [min(j + 1, level) for j in range(level + 1)], flat.dtype
+    )
+    scale = 2.0 ** (-(j_eff[:, None] + j_eff[None, :]) / 2.0)
+    sigma_b = sigma[..., None, None] * scale  # (..., J+1, J+1)
+    n = r * c
+    if method == "universal":
+        tau = sigma_b * math.sqrt(2.0 * math.log(max(n, 2)))
+    elif method == "sure":
+        tau = sure_threshold(flat, sigma_b)
+    else:
+        tau = bayes_threshold(flat, sigma_b)
+    shrink = soft_threshold if mode == "soft" else hard_threshold
+    out = shrink(flat, tau[..., None])
+    # keep the pure approximation band (J, J) untouched
+    out = out.at[..., level, level, :].set(flat[..., level, level, :])
+    return imodwt_2d(out.reshape(coeffs.shape), wavelet)

@@ -93,6 +93,32 @@ def test_bayes_threshold_kills_pure_noise_band(rng):
     assert tau > float(jnp.max(jnp.abs(band)))  # everything thresholded away
 
 
+@pytest.mark.parametrize("method", ["universal", "sure", "bayes"])
+def test_denoise_2d_improves_mse(method, rng):
+    n = 128
+    yy, xx = np.mgrid[0:n, 0:n] / n
+    clean = np.sin(4 * np.pi * xx) * np.cos(2 * np.pi * yy) + (xx > 0.5)
+    noisy = clean + 0.3 * rng.standard_normal((n, n))
+    from jwave_tpu.denoise import denoise_2d
+
+    out = np.asarray(denoise_2d(jnp.asarray(noisy), "db4", 3, method=method))
+    assert np.mean((out - clean) ** 2) < 0.25 * np.mean((noisy - clean) ** 2)
+
+
+def test_denoise_2d_batched_and_errors(rng):
+    from jwave_tpu.denoise import denoise_2d
+
+    imgs = jnp.asarray(rng.standard_normal((2, 64, 64)))
+    out = np.asarray(denoise_2d(imgs, "Haar", 2))
+    assert out.shape == (2, 64, 64)
+    single = np.asarray(denoise_2d(imgs[1], "Haar", 2))
+    np.testing.assert_allclose(out[1], single, atol=1e-10)
+    with pytest.raises(jw.JWaveFailure):
+        denoise_2d(imgs, "Haar", 2, mode="medium")
+    with pytest.raises(jw.JWaveFailure):
+        denoise_2d(imgs, "Haar", 2, method="magic")
+
+
 def test_adaptive_methods_jit(rng):
     import jax
 
