@@ -219,8 +219,11 @@ class MODWTTransform(WaveletTransform):
         if coeffs is None:
             return jnp.zeros((0,))
         coeffs = jnp.asarray(coeffs)
-        if coeffs.ndim < 2 or coeffs.shape[-2] == 0 or coeffs.shape[-1] == 0:
-            return jnp.zeros((0,))
+        if coeffs.ndim < 2:
+            return jnp.zeros((0,), dtype=coeffs.dtype)
+        if coeffs.shape[-2] == 0 or coeffs.shape[-1] == 0:
+            # preserve leading batch shape and dtype on the empty edge case
+            return jnp.zeros(coeffs.shape[:-2] + (0,), dtype=coeffs.dtype)
         return self._jitted(("im", coeffs.shape[-2]), partial(imodwt, wavelet=self.wavelet, **self._kw()))(
             coeffs
         )

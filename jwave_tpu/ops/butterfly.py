@@ -67,7 +67,7 @@ def butterfly_forward(x, dec_lo: np.ndarray, dec_hi: np.ndarray):
     m = int(dec_lo.shape[0])
     from .mxu_butterfly import butterfly_forward_mxu, mxu_butterfly_eligible
 
-    if mxu_butterfly_eligible(x, m):
+    if mxu_butterfly_eligible(x):
         return butterfly_forward_mxu(x, dec_lo, dec_hi)
     half = h // 2
     dtype = x.dtype
@@ -102,7 +102,7 @@ def butterfly_reverse(y, rec_lo: np.ndarray, rec_hi: np.ndarray, recon_gain: flo
     m = int(rec_lo.shape[0])
     from .mxu_butterfly import butterfly_reverse_mxu, mxu_butterfly_eligible
 
-    if mxu_butterfly_eligible(y, m):
+    if mxu_butterfly_eligible(y):
         return butterfly_reverse_mxu(y, rec_lo, rec_hi, recon_gain)
     half = h // 2
     dtype = y.dtype

@@ -43,8 +43,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .. import config as _config
-
-LANES = 128
+from .mxu_common import LANES, auto_backend_ok, dot as _dot
 
 
 @lru_cache(maxsize=256)
@@ -100,7 +99,7 @@ def _dense_for(f_lo, f_hi, h: int) -> np.ndarray:
     return _dense_bank(lo.tobytes(), hi.tobytes(), h)
 
 
-def mxu_butterfly_eligible(x, m: int) -> bool:
+def mxu_butterfly_eligible(x) -> bool:
     """Routing policy for ops.butterfly: config dial + shape/backend gates.
 
     Two regimes: pair-tiled matmuls for h % 256 == 0, and a single dense
@@ -116,20 +115,7 @@ def mxu_butterfly_eligible(x, m: int) -> bool:
         return False
     if mode == "on":
         return True
-    import jax
-
-    return jax.default_backend() in ("tpu", "axon") and x.dtype in (
-        jnp.float32,
-        jnp.bfloat16,
-    )
-
-
-def _dot(a, w, precision):
-    return lax.dot_general(
-        a, w, (((a.ndim - 1,), (0,)), ((), ())),
-        precision=precision,
-        preferred_element_type=a.dtype if a.dtype == jnp.float64 else jnp.float32,
-    )
+    return auto_backend_ok(x)
 
 
 def butterfly_forward_mxu(x, dec_lo, dec_hi, precision=None):
@@ -196,7 +182,6 @@ def butterfly_reverse_mxu(y, rec_lo, rec_hi, recon_gain: float = 1.0, precision=
         return out.reshape(lead + (h,))
     to = h // (2 * LANES)
     half = h // 2
-    lead = y.shape[:-1]
     bank = _bank_for(rec_lo, rec_hi)
     e_count = bank.shape[0]
     y2 = y.reshape((-1, h))

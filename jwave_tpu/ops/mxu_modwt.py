@@ -32,13 +32,10 @@ from __future__ import annotations
 from functools import lru_cache
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from .. import config
-from ..filters import get_filter
-
-LANES = 128
+from .mxu_common import LANES, dot as _dot
 
 #: AUTO routes MODWT to this path while sum(per-subband 128-tile counts)
 #: stays at or under this budget; past it the telescoped-FFT path is faster.
@@ -48,15 +45,24 @@ LANES = 128
 MXU_TILE_BUDGET = 96
 
 
-def _composite_taps(wavelet_name: str, level: int):
+def _base_key(wavelet):
+    """Value-key (rescaled base filter bytes) for the tile caches — keying
+    by name would let a custom FilterBank that shares a builtin's name
+    reuse (or poison) the builtin's cached tiles."""
+    from ..transforms.modwt import _modwt_base_filters
+
+    g0, h0 = _modwt_base_filters(wavelet)
+    return g0.tobytes(), h0.tobytes()
+
+
+def _composite_taps(g0_bytes: bytes, h0_bytes: bytes, level: int):
     """Per-subband composite filters [F_W1, ..., F_WJ, F_VJ] in f64.
 
     Composing the upsampled cascade filters host-side is exact to ~1e-15
     against the level-sequential recursion (MODWTTransform.java:256-306).
     """
-    from ..transforms.modwt import _modwt_base_filters
-
-    g0, h0 = _modwt_base_filters(wavelet_name)
+    g0 = np.frombuffer(g0_bytes, dtype=np.float64)
+    h0 = np.frombuffer(h0_bytes, dtype=np.float64)
 
     def upsampled(f, j):
         gap = 1 << (j - 1)
@@ -82,7 +88,7 @@ def _wrap(f: np.ndarray, n: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=256)
-def _q_tiles(name: str, level: int, n: int):
+def _q_tiles(g0_bytes: bytes, h0_bytes: bytes, level: int, n: int):
     """Per-subband stacks of (E_o, 128, 128) f64 matmul tiles.
 
     Q_e[i, l] = F[l - i + 128 e]; E_o = floor((S_o - 2) / 128) + 2 <= T + 1
@@ -91,7 +97,7 @@ def _q_tiles(name: str, level: int, n: int):
     i = np.arange(LANES)[:, None]
     l = np.arange(LANES)[None, :]
     stacks = []
-    for f in _composite_taps(name, level):
+    for f in _composite_taps(g0_bytes, h0_bytes, level):
         f = _wrap(f, n)
         s = f.shape[0]
         e_count = max((s - 2) // LANES + 2, 1)
@@ -107,23 +113,22 @@ def _q_tiles(name: str, level: int, n: int):
 
 
 def mxu_tile_count(wavelet, level: int, n: int) -> int:
-    """Total 128x128 matmul tiles one forward transform costs (AUTO policy)."""
-    name = get_filter(wavelet).name
-    return sum(q.shape[0] for q in _q_tiles(name, level, n))
+    """Total 128x128 matmul tiles one forward transform costs (AUTO policy).
+
+    Derived from the wrapped composite support lengths alone — building the
+    actual tile stacks here would materialize O(support) host memory just to
+    reject configurations over budget."""
+    total = 0
+    for f in _composite_taps(*_base_key(wavelet), level):
+        s = min(f.shape[0], n)  # _wrap folds to length <= n
+        total += max((s - 2) // LANES + 2, 1)
+    return total
 
 
 def mxu_applicable(x, level: int) -> bool:
     """Lane-aligned real input of any rank; every backend can run the
     matmul form (CPU f64 included — tests use it), but only TPU profits."""
     return x.shape[-1] % LANES == 0 and x.shape[-1] > 0
-
-
-def _dot(a, q, precision):
-    return jax.lax.dot_general(
-        a, q, (((a.ndim - 1,), (0,)), ((), ())),
-        precision=precision, preferred_element_type=a.dtype
-        if a.dtype == jnp.float64 else jnp.float32,
-    )
 
 
 def modwt_mxu(x, wavelet, level: int, precision=None):
@@ -134,10 +139,9 @@ def modwt_mxu(x, wavelet, level: int, precision=None):
     """
     if precision is None:
         precision = config.conv_precision()
-    name = get_filter(wavelet).name
     b, n = x.shape
     t = n // LANES
-    stacks = [jnp.asarray(q, x.dtype) for q in _q_tiles(name, level, n)]
+    stacks = [jnp.asarray(q, x.dtype) for q in _q_tiles(*_base_key(wavelet), level, n)]
     e_max = max(q.shape[0] for q in stacks)
     v3 = x.reshape(b, t, LANES)
     rolled = [jnp.roll(v3, e, axis=1).reshape(b * t, LANES) for e in range(e_max)]
@@ -156,11 +160,10 @@ def imodwt_mxu(coeffs, wavelet, precision=None):
     the SAME tiles transposed with negative rolls: Q_e^T[i, l] = F[i - l + 128 e]."""
     if precision is None:
         precision = config.conv_precision()
-    name = get_filter(wavelet).name
     b, rows, n = coeffs.shape
     level = rows - 1
     t = n // LANES
-    stacks = [jnp.asarray(q, coeffs.dtype) for q in _q_tiles(name, level, n)]
+    stacks = [jnp.asarray(q, coeffs.dtype) for q in _q_tiles(*_base_key(wavelet), level, n)]
     acc = None
     for o, q in enumerate(stacks):
         w3 = coeffs[:, o, :].reshape(b, t, LANES)

@@ -39,8 +39,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .. import config as _config
-
-LANES = 128
+from .mxu_common import LANES, auto_backend_ok, dot as _dot
 
 
 @lru_cache(maxsize=128)
@@ -82,20 +81,7 @@ def mxu_wpt_eligible(x, levels: int) -> bool:
         return False
     if mode == "on":
         return True
-    import jax
-
-    return jax.default_backend() in ("tpu", "axon") and x.dtype in (
-        jnp.float32,
-        jnp.bfloat16,
-    )
-
-
-def _dot(a, w, precision):
-    return lax.dot_general(
-        a, w, (((a.ndim - 1,), (0,)), ((), ())),
-        precision=precision,
-        preferred_element_type=a.dtype if a.dtype == jnp.float64 else jnp.float32,
-    )
+    return auto_backend_ok(x)
 
 
 def wpt_fused_forward_mxu(x, dec_lo, dec_hi, levels: int, precision=None):

@@ -44,22 +44,69 @@ from ..utils.numerics import next_power_of_two
 # Every sharded entry point below therefore builds its jitted program once
 # per hashable configuration key and reuses it.
 
-_SHARDED_JIT_CACHE: dict = {}
+from collections import OrderedDict
+
+_SHARDED_JIT_CACHE: OrderedDict = OrderedDict()
+_SHARDED_JIT_MAX = 256  # bounded: each entry pins a compiled XLA executable
+
+
+def _dial_key():
+    """Global numeric dials that are baked into a traced program; they must
+    be part of every cache key or a dial change would silently reuse stale
+    programs compiled under the old setting."""
+    return (_config.conv_precision(), _config.mxu_butterfly())
 
 
 def _get_or_build(key, builder):
+    key = key + _dial_key()
     fn = _SHARDED_JIT_CACHE.get(key)
     if fn is None:
         fn = _SHARDED_JIT_CACHE[key] = builder()
+        if len(_SHARDED_JIT_CACHE) > _SHARDED_JIT_MAX:
+            _SHARDED_JIT_CACHE.popitem(last=False)
+    else:
+        _SHARDED_JIT_CACHE.move_to_end(key)
     return fn
+
+
+_FB_INTERN: dict = {}
+
+
+def _fb_key(wavelet):
+    """Value-key for a filter bank: the coefficient bytes, not the name —
+    a custom FilterBank that shares a builtin's name must neither reuse nor
+    poison the builtin's compiled program. Interns the resolved bank so
+    cached builders can close over the exact coefficients."""
+    from ..filters import get_filter
+
+    fb = get_filter(wavelet)
+    key = (fb.name, fb.dec_lo.tobytes(), fb.dec_hi.tobytes(),
+           fb.rec_lo.tobytes(), fb.rec_hi.tobytes(), float(fb.recon_gain))
+    _FB_INTERN.setdefault(key, fb)
+    return key
 
 
 def _wav_key(wav):
     """Hashable value-key for a continuous wavelet instance (name alone is
-    not enough: Morlet(fb,fc)/Paul(m)/DOG(n,sigma) carry parameters)."""
-    return (type(wav).__name__,) + tuple(
-        sorted((k, v) for k, v in vars(wav).items() if isinstance(v, (int, float, str)))
-    )
+    not enough: Morlet(fb,fc)/Paul(m)/DOG(n,sigma) carry parameters).
+    Arrays hash by content; unknown attribute types fall back to repr()
+    (id-based for plain objects), which can only miss cache reuse, never
+    alias two distinct wavelets onto one program."""
+    def coerce(v):
+        if isinstance(v, (bool, int, float, str, bytes)):
+            return v
+        if isinstance(v, np.ndarray):
+            return ("nd", v.dtype.str, v.shape, v.tobytes())
+        if isinstance(v, (np.integer, np.floating)):
+            return v.item()
+        return repr(v)
+
+    try:
+        attrs = vars(wav).items()
+    except TypeError:  # __slots__ classes
+        attrs = ((k, getattr(wav, k)) for k in dir(wav)
+                 if not k.startswith("_") and not callable(getattr(wav, k)))
+    return (type(wav).__name__,) + tuple(sorted((k, coerce(v)) for k, v in attrs))
 
 
 # --------------------------------------------------------------------------
@@ -153,14 +200,17 @@ import functools
 
 
 @functools.lru_cache(maxsize=256)
-def _cached_separable_2d(kind: str, wavelet_name: str, level_rows, level_cols,
-                         mesh: Mesh, axis_name: str):
+def _cached_separable_2d(kind: str, fb_key, level_rows, level_cols,
+                         mesh: Mesh, axis_name: str, dials):
     """Build (once per config) the jitted sharded 2D transform — a fresh
-    closure per call would force an XLA recompile every invocation."""
+    closure per call would force an XLA recompile every invocation. Keyed
+    by coefficient value (``_fb_key``) and the global dials, and closes
+    over the interned bank so custom FilterBanks get their own programs."""
+    fb = _FB_INTERN[fb_key]
     fwd = {"fwt": fwt, "ifwt": ifwt, "wpt": wpt, "iwpt": iwpt}[kind]
     return _sharded_separable_2d(
-        lambda b: fwd(b, wavelet_name, level_cols),
-        lambda b: fwd(b, wavelet_name, level_rows),
+        lambda b: fwd(b, fb, level_cols),
+        lambda b: fwd(b, fb, level_rows),
         mesh, axis_name,
     )
 
@@ -208,32 +258,32 @@ def fwt2d_sharded(mat, wavelet, mesh: Mesh, level_rows=None, level_cols=None, ax
     """2D FWT sharded across the mesh (BASELINE config #4)."""
     from ..filters import get_filter
 
-    f = _cached_separable_2d('fwt', get_filter(wavelet).name, level_rows, level_cols,
-                             mesh, axis_name or mesh.axis_names[0])
+    f = _cached_separable_2d('fwt', _fb_key(wavelet), level_rows, level_cols,
+                             mesh, axis_name or mesh.axis_names[0], _dial_key())
     return f(jnp.asarray(mat))
 
 
 def ifwt2d_sharded(mat, wavelet, mesh: Mesh, level_rows=None, level_cols=None, axis_name=None):
     from ..filters import get_filter
 
-    f = _cached_separable_2d('ifwt', get_filter(wavelet).name, level_rows, level_cols,
-                             mesh, axis_name or mesh.axis_names[0])
+    f = _cached_separable_2d('ifwt', _fb_key(wavelet), level_rows, level_cols,
+                             mesh, axis_name or mesh.axis_names[0], _dial_key())
     return f(jnp.asarray(mat))
 
 
 def wpt2d_sharded(mat, wavelet, mesh: Mesh, level_rows=None, level_cols=None, axis_name=None):
     from ..filters import get_filter
 
-    f = _cached_separable_2d('wpt', get_filter(wavelet).name, level_rows, level_cols,
-                             mesh, axis_name or mesh.axis_names[0])
+    f = _cached_separable_2d('wpt', _fb_key(wavelet), level_rows, level_cols,
+                             mesh, axis_name or mesh.axis_names[0], _dial_key())
     return f(jnp.asarray(mat))
 
 
 def iwpt2d_sharded(mat, wavelet, mesh: Mesh, level_rows=None, level_cols=None, axis_name=None):
     from ..filters import get_filter
 
-    f = _cached_separable_2d('iwpt', get_filter(wavelet).name, level_rows, level_cols,
-                             mesh, axis_name or mesh.axis_names[0])
+    f = _cached_separable_2d('iwpt', _fb_key(wavelet), level_rows, level_cols,
+                             mesh, axis_name or mesh.axis_names[0], _dial_key())
     return f(jnp.asarray(mat))
 
 
@@ -242,8 +292,8 @@ def iwpt2d_sharded(mat, wavelet, mesh: Mesh, level_rows=None, level_cols=None, a
 # --------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=256)
-def _cached_separable_3d(kind: str, wavelet_name: str, level_p, level_q, level_r,
-                         mesh: Mesh, axis_name: str):
+def _cached_separable_3d(kind: str, fb_key, level_p, level_q, level_r,
+                         mesh: Mesh, axis_name: str, dials):
     """Jitted sharded separable 3D transform, built once per configuration.
 
     The reference parallelizes 3D as per-slice 2D + per-pillar 1D over a
@@ -253,13 +303,14 @@ def _cached_separable_3d(kind: str, wavelet_name: str, level_p, level_q, level_r
     one all_to_all transpose pair (same bandwidth-optimal pattern as
     _sharded_separable_2d, extended with the third axis riding along).
     """
+    fb = _FB_INTERN[fb_key]
     fwd = {"fwt": fwt, "ifwt": ifwt, "wpt": wpt, "iwpt": iwpt}[kind]
     n_dev = mesh.shape[axis_name]
 
     def _local(block):  # block: (P/D, Q, R)
-        y = fwd(block, wavelet_name, level_r)  # along R
+        y = fwd(block, fb, level_r)  # along R
         y = jnp.swapaxes(y, -1, -2)  # (P/D, R, Q)
-        y = fwd(y, wavelet_name, level_q)  # along Q
+        y = fwd(y, fb, level_q)  # along Q
         y = jnp.swapaxes(y, -1, -2)  # (P/D, Q, R)
         p, q_full, r = y.shape
         q = q_full // n_dev
@@ -267,7 +318,7 @@ def _cached_separable_3d(kind: str, wavelet_name: str, level_p, level_q, level_r
         y = lax.all_to_all(y, axis_name, split_axis=1, concat_axis=0)  # (D, p, q, R)
         y = y.reshape(n_dev * p, q, r)  # (P, q, R): this chip owns a Q chunk
         y = jnp.moveaxis(y, 0, -1)  # (q, R, P)
-        y = fwd(y, wavelet_name, level_p)  # along P
+        y = fwd(y, fb, level_p)  # along P
         y = jnp.moveaxis(y, -1, 0)  # (P, q, R)
         y = y.reshape(n_dev, p, q, r)
         y = lax.all_to_all(y, axis_name, split_axis=0, concat_axis=1)  # (p, D, q, R)
@@ -291,10 +342,8 @@ def _cached_separable_3d(kind: str, wavelet_name: str, level_p, level_q, level_r
 
 
 def _sharded_3d(kind, vol, wavelet, mesh, level_p, level_q, level_r, axis_name):
-    from ..filters import get_filter
-
-    f = _cached_separable_3d(kind, get_filter(wavelet).name, level_p, level_q, level_r,
-                             mesh, axis_name or mesh.axis_names[0])
+    f = _cached_separable_3d(kind, _fb_key(wavelet), level_p, level_q, level_r,
+                             mesh, axis_name or mesh.axis_names[0], _dial_key())
     return f(jnp.asarray(vol))
 
 
@@ -397,7 +446,7 @@ def modwt_halo_sharded(signal, wavelet, level: int, mesh: Mesh, axis_name: str |
         return jax.jit(mapped)
 
     run = _get_or_build(
-        ("modwt_halo", mesh, axis_name, get_filter(wavelet).name, level, n), _build
+        ("modwt_halo", mesh, axis_name, _fb_key(wavelet), level, n), _build
     )
     return run(jnp.asarray(signal))
 
@@ -443,7 +492,7 @@ def imodwt_halo_sharded(coeffs, wavelet, mesh: Mesh, axis_name: str | None = Non
         return jax.jit(mapped)
 
     run = _get_or_build(
-        ("imodwt_halo", mesh, axis_name, get_filter(wavelet).name, level, n), _build
+        ("imodwt_halo", mesh, axis_name, _fb_key(wavelet), level, n), _build
     )
     return run(jnp.asarray(coeffs))
 
@@ -559,7 +608,7 @@ def fwt_halo_sharded(signal, wavelet, mesh: Mesh, level: int | None = None, axis
         mapped = shard_map(_local, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name))
         return jax.jit(mapped)
 
-    run = _get_or_build(("fwt_halo", mesh, axis_name, fb.name, n, level), _build)
+    run = _get_or_build(("fwt_halo", mesh, axis_name, _fb_key(fb), n, level), _build)
     return run(jnp.asarray(signal))
 
 
@@ -665,7 +714,7 @@ def fwt2d_tile_sharded(
         return jax.jit(mapped)
 
     run = _get_or_build(
-        ("fwt2d_tile", mesh, row_axis, col_axis, fb.name, rows, cols, level_rows, level_cols),
+        ("fwt2d_tile", mesh, row_axis, col_axis, _fb_key(fb), rows, cols, level_rows, level_cols),
         _build,
     )
     return run(mat)
@@ -862,7 +911,7 @@ def modwt_fft_sharded(signal, wavelet, level: int, mesh: Mesh, axis_name: str | 
         return jax.jit(mapped)
 
     run = _get_or_build(
-        ("modwt_fft", mesh, axis_name, get_filter(wavelet).name, level, n, str(rdtype)),
+        ("modwt_fft", mesh, axis_name, _fb_key(wavelet), level, n, str(rdtype)),
         _build,
     )
     return run(signal)
@@ -903,7 +952,7 @@ def imodwt_fft_sharded(coeffs, wavelet, mesh: Mesh, axis_name: str | None = None
         return jax.jit(mapped)
 
     run = _get_or_build(
-        ("imodwt_fft", mesh, axis_name, get_filter(wavelet).name, level, n, str(rdtype)),
+        ("imodwt_fft", mesh, axis_name, _fb_key(wavelet), level, n, str(rdtype)),
         _build,
     )
     return run(coeffs)
@@ -958,7 +1007,7 @@ def modwt2d_sharded(mat, wavelet, level: int, mesh: Mesh, axis_name: str | None 
         return jax.jit(mapped)
 
     run = _get_or_build(
-        ("modwt2d", mesh, axis_name, get_filter(wavelet).name, level, r, c,
+        ("modwt2d", mesh, axis_name, _fb_key(wavelet), level, r, c,
          tuple(sorted(kw.items()))),
         _build,
     )
@@ -1010,7 +1059,7 @@ def imodwt2d_sharded(coeffs, wavelet, mesh: Mesh, axis_name: str | None = None, 
         return jax.jit(mapped)
 
     run = _get_or_build(
-        ("imodwt2d", mesh, axis_name, get_filter(wavelet).name, j1, r, c,
+        ("imodwt2d", mesh, axis_name, _fb_key(wavelet), j1, r, c,
          tuple(sorted(kw.items()))),
         _build,
     )

@@ -291,6 +291,9 @@ def imodwt(
     coeffs = ensure_float(jnp.asarray(coeffs))
     level = coeffs.shape[-2] - 1
     n = coeffs.shape[-1]
+    if n == 0:
+        # mirror modwt's empty-input convention (reference returns empty)
+        return jnp.zeros(coeffs.shape[:-2] + (0,), dtype=coeffs.dtype)
     if level < 1:
         raise JWaveFailure("imodwt - need at least level 1 (2 rows)")
 

@@ -109,16 +109,16 @@ def test_jit_grad_vmap(force_mxu):
 
 
 def test_eligibility_gates():
-    x64 = jnp.zeros((2, 192))  # not a multiple of 256
-    assert not mxu_butterfly_eligible(x64, 8)
+    x192 = jnp.zeros((2, 192))  # not a multiple of 256 and above the dense cap
+    assert not mxu_butterfly_eligible(x192)
     x = jnp.zeros((2, 512))
     config.set_mxu_butterfly("off")
     try:
-        assert not mxu_butterfly_eligible(x, 8)
+        assert not mxu_butterfly_eligible(x)
     finally:
         config.set_mxu_butterfly("auto")
     # auto on CPU: stays on the conv path (golden stability)
-    assert not mxu_butterfly_eligible(x, 8)
+    assert not mxu_butterfly_eligible(x)
     with pytest.raises(ValueError):
         config.set_mxu_butterfly("sometimes")
 
