@@ -158,6 +158,22 @@ def test_dense_small_head_matches_conv(wavelet, h):
     )
 
 
+@pytest.mark.parametrize("wavelet", sorted(fb.name for fb in jw.junit_passing_filters()))
+def test_full_zoo_roundtrip(wavelet, force_mxu):
+    # every perfect-reconstruction bank through both MXU regimes
+    # (pair-tile h=512, dense h<=128 via the deep pyramid)
+    fb = get_filter(wavelet)
+    x = jnp.asarray(RNG.standard_normal((2, 512)))
+    fwd = butterfly_forward_mxu(x, fb.dec_lo, fb.dec_hi)
+    np.testing.assert_allclose(
+        fwd, butterfly_forward(x, fb.dec_lo, fb.dec_hi), atol=1e-11)
+    rec = jw.ifwt(jw.fwt(x, wavelet, 9), wavelet, 9)
+    # 1e-6: some published banks (e.g. Coiflet 5) carry truncated
+    # coefficients whose deep-pyramid reconstruction error is ~5e-8 on the
+    # conv path too — a bank property, not a formulation error
+    np.testing.assert_allclose(rec, x, atol=1e-6)
+
+
 def test_deep_3d_through_dial(force_mxu):
     from jwave_tpu.transforms.ndim import forward_3d, reverse_3d
 
