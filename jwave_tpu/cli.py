@@ -46,6 +46,22 @@ def _list() -> int:
     return 0
 
 
+def _denoise_demo(wavelet_name: str) -> int:
+    from .denoise import denoise
+
+    rng = np.random.default_rng(0)
+    n = 2048
+    t = np.arange(n) / n
+    clean = np.sign(np.sin(2 * np.pi * 20 * t))
+    noisy = clean + 0.4 * rng.standard_normal(n)
+    print(f"denoise demo ({wavelet_name}): square wave + N(0, 0.4^2), n={n}")
+    print(f"  noisy MSE      {np.mean((noisy - clean) ** 2):.4f}")
+    for method in ("universal", "sure", "bayes"):
+        out = np.asarray(denoise(noisy, wavelet_name, 5, method=method))
+        print(f"  {method:<9} MSE  {np.mean((out - clean) ** 2):.4f}")
+    return 0
+
+
 def _bench() -> int:
     import runpy
     import pathlib
@@ -61,7 +77,7 @@ def _bench() -> int:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="jwave_tpu", description=__doc__)
     p.add_argument("transform", nargs="?", default="Fast Wavelet Transform",
-                   help='e.g. "Fast Wavelet Transform", "MODWT", "list", "bench"')
+                   help='e.g. "Fast Wavelet Transform", "MODWT", "list", "bench", "denoise"')
     p.add_argument("wavelet", nargs="?", default="Haar", help='e.g. "Haar", "db4", "sym8"')
     args = p.parse_args(argv)
     try:
@@ -69,6 +85,8 @@ def main(argv=None) -> int:
             return _list()
         if args.transform == "bench":
             return _bench()
+        if args.transform == "denoise":
+            return _denoise_demo(args.wavelet)
         return _demo(args.transform, args.wavelet)
     except Exception as e:  # clean one-line CLI errors, no traceback
         print(f"error: {e}", file=sys.stderr)
