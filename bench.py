@@ -127,6 +127,17 @@ def main():
     if dev.platform != "cpu":
         dt_p = bench_op(lambda a: jw.modwt(a, "Daubechies 4", 5, method=jw.ConvolutionMethod.PALLAS).sum(axis=-2), x)
         details["modwt_db4_L5_pallas"] = {"ms": dt_p * 1e3, "Msamples_per_s": round(batch * n / dt_p / 1e6, 1)}
+        # the precision dial's other end: single-pass bf16 inputs, f32 accum
+        # (HBM-bandwidth-bound; docs/PERFORMANCE.md roofline table)
+        from jwave_tpu import config as _cfg
+
+        _cfg.set_conv_precision("default")
+        try:
+            dt_b = bench_op(lambda a: jw.modwt(a, "Daubechies 4", 5).sum(axis=-2), x)
+            details["modwt_db4_L5_bf16dial"] = {"ms": dt_b * 1e3,
+                                                "Msamples_per_s": round(batch * n / dt_b / 1e6, 1)}
+        finally:
+            _cfg.set_conv_precision("highest")
 
     # --- 2D FWT on 2048x2048 (config #4 single-chip) ----------------------
     from jwave_tpu.transforms.fwt import fwt
