@@ -95,8 +95,14 @@ def pallas_smoke():
     err_fwd = float(np.max(np.abs(coeffs - want)))
     err_rt = float(np.max(np.abs(back - np.asarray(x))))
     digest = hashlib.sha256(np.round(coeffs.astype(np.float64), 4).tobytes()).hexdigest()[:16]
-    ok = err_fwd < 1e-4 and err_rt < 1e-4
+    # same per-round compiled proof for the MXU tile paths (the hot paths)
+    mxu = np.asarray(jax.jit(lambda a: jw.modwt(a, "db4", 3, method=jw.ConvolutionMethod.MXU))(x))
+    err_mxu = float(np.max(np.abs(mxu - want)))
+    fwt_rt = np.asarray(jax.jit(lambda a: jw.ifwt(jw.fwt(a, "db4", 6), "db4", 6))(x))
+    err_fwt = float(np.max(np.abs(fwt_rt - np.asarray(x))))
+    ok = err_fwd < 1e-4 and err_rt < 1e-4 and err_mxu < 1e-4 and err_fwt < 1e-4
     return {"ok": bool(ok), "max_err_vs_fft": err_fwd, "roundtrip_err": err_rt,
+            "mxu_err_vs_fft": err_mxu, "mxu_fwt_roundtrip_err": err_fwt,
             "sha256_coeffs_r4": digest, "shape": [8, 1024], "wavelet": "db4", "level": 3}
 
 

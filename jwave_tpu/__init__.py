@@ -72,6 +72,7 @@ from .exceptions import (
 )
 from .filters import FilterBank, available_filters, get_filter, junit_passing_filters
 from .transforms import (
+    BestBasis,
     CWTResult,
     ConvolutionMethod,
     PaddingType,
@@ -101,6 +102,8 @@ from .transforms import (
     modwt_2d,
     shifting_forward,
     shifting_reverse,
+    best_basis,
+    best_basis_reconstruct,
     wpt,
 )
 
@@ -116,7 +119,8 @@ __all__ = [
     "MeyerWavelet", "get_continuous_wavelet",
     "FilterBank", "get_filter", "available_filters", "junit_passing_filters",
     "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose", "fwt_split", "fwt_merge",
-    "wpt", "iwpt", "modwt", "imodwt", "modwt_1d", "imodwt_1d", "modwt_2d", "imodwt_2d",
+    "wpt", "iwpt", "BestBasis", "best_basis", "best_basis_reconstruct",
+    "modwt", "imodwt", "modwt_1d", "imodwt_1d", "modwt_2d", "imodwt_2d",
     "ConvolutionMethod", "cwt", "cwt_chunked", "cwt_direct", "icwt", "CWTResult", "PaddingType",
     "generate_log_scales", "generate_linear_scales",
     "fft", "ifft", "aed_forward", "aed_reverse",

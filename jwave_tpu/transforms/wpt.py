@@ -104,3 +104,146 @@ def iwpt(y, wavelet, level: int | None = None, fused: bool = True):
             packets = packets.reshape(lead + (g, h))
         y = packets.reshape(lead + (n,))
     return y
+
+
+# --------------------------------------------------------------------------
+# Best-basis selection (Coifman–Wickerhauser) — capability superset
+# --------------------------------------------------------------------------
+
+import dataclasses as _dc
+
+
+def _node_costs(row, level: int, cost: str, threshold: float):
+    """Additive cost of every packet node at ``level`` from the full WPT row
+    (..., N): returns (2^level,) host floats (summed over leading axes)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    n = row.shape[-1]
+    blocks = row.reshape((-1, 1 << level, n >> level))
+    if cost == "shannon":
+        c2 = blocks * blocks
+        vals = -jnp.sum(jnp.where(c2 > 0, c2 * jnp.log(jnp.maximum(c2, 1e-300)), 0.0), axis=-1)
+    elif cost == "threshold":
+        vals = jnp.sum((jnp.abs(blocks) > threshold).astype(blocks.dtype), axis=-1)
+    elif cost == "l1":
+        vals = jnp.sum(jnp.abs(blocks), axis=-1)
+    else:
+        raise JWaveFailure(f"best_basis - unknown cost {cost!r} (use 'shannon', 'threshold' or 'l1')")
+    return np.asarray(jnp.sum(vals, axis=0), dtype=float)
+
+
+@_dc.dataclass
+class BestBasis:
+    """A chosen wavelet-packet basis: disjoint dyadic nodes covering [0, N).
+
+    ``nodes`` are (level, position) pairs in Paley order; ``coefficients[i]``
+    holds node i's packet coefficients (leading axes = input batch). The
+    reference has no best-basis machinery; this follows Coifman &
+    Wickerhauser (1992), the algorithm PyWavelets exposes via its
+    WaveletPacket tree.
+    """
+
+    nodes: list
+    coefficients: list
+    cost: float
+    n: int
+    wavelet: str
+
+
+def best_basis(x, wavelet, max_level: int | None = None, cost: str = "shannon",
+               threshold: float = 0.0) -> BestBasis:
+    """Coifman–Wickerhauser best wavelet-packet basis along the last axis.
+
+    Computes the full packet tree to ``max_level`` (one batched butterfly
+    pass per level — each rides the MXU path on TPU), scores every node
+    with an additive cost ('shannon' entropy, 'threshold' count above
+    ``threshold``, or 'l1'), and selects the minimal-cost disjoint cover by
+    the classic bottom-up dynamic program. For batched input one shared
+    basis is chosen from the summed costs. Returns a :class:`BestBasis`;
+    invert with :func:`best_basis_reconstruct`.
+    """
+    import jax.numpy as jnp
+
+    fb = get_filter(wavelet)
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    if not is_power_of_two(n):
+        raise JWaveFailure(f"best_basis - length {n} is not 2^p")
+    steps = exponent_of_two(n)
+    if max_level is None:
+        max_level = steps
+    max_level = min(max_level, steps)
+    lead = x.shape[:-1]
+
+    # full packet tree: rows[l] = depth-l WPT of x (one butterfly pass each)
+    rows = [x]
+    cur = x
+    for l in range(max_level):
+        h = n >> l
+        if h < fb.transform_wavelength:
+            max_level = l
+            break
+        sub = cur.reshape(lead + (n // h, h))
+        cur = butterfly_forward(sub, fb.dec_lo, fb.dec_hi).reshape(lead + (n,))
+        rows.append(cur)
+
+    costs = [_node_costs(rows[l], l, cost, threshold) for l in range(max_level + 1)]
+
+    # bottom-up DP: keep a node iff its cost beats its best children cover
+    best = costs[max_level].copy()
+    keep = [None] * (max_level + 1)
+    keep[max_level] = [True] * (1 << max_level)
+    for l in range(max_level - 1, -1, -1):
+        keep_l = []
+        nxt = best
+        best = costs[l].copy()
+        for p in range(1 << l):
+            children = nxt[2 * p] + nxt[2 * p + 1]
+            if costs[l][p] <= children:
+                keep_l.append(True)
+            else:
+                keep_l.append(False)
+                best[p] = children
+        keep[l] = keep_l
+
+    # walk down from the root collecting the chosen cover
+    nodes = []
+
+    def _collect(l, p):
+        if keep[l][p] or l == max_level:
+            nodes.append((l, p))
+        else:
+            _collect(l + 1, 2 * p)
+            _collect(l + 1, 2 * p + 1)
+
+    _collect(0, 0)
+    coefficients = []
+    for l, p in nodes:
+        h = n >> l
+        coefficients.append(rows[l].reshape(lead + (1 << l, h))[..., p, :])
+    return BestBasis(nodes=nodes, coefficients=coefficients, cost=float(best[0]),
+                     n=n, wavelet=fb.name)
+
+
+def best_basis_reconstruct(bb: BestBasis, wavelet=None):
+    """Invert a :class:`BestBasis` back to the signal (exact: the chosen
+    nodes form a disjoint dyadic cover, so reconstruction is the inverse
+    butterfly cascade over the cover tree)."""
+    import jax.numpy as jnp
+
+    fb = get_filter(wavelet if wavelet is not None else bb.wavelet)
+    table = {node: jnp.asarray(c) for node, c in zip(bb.nodes, bb.coefficients)}
+    max_level = max(l for l, _ in bb.nodes) if bb.nodes else 0
+
+    def _rebuild(l, p):
+        if (l, p) in table:
+            return table[(l, p)]
+        a = _rebuild(l + 1, 2 * p)
+        d = _rebuild(l + 1, 2 * p + 1)
+        merged = jnp.concatenate([a, d], axis=-1)
+        return butterfly_reverse(merged, fb.rec_lo, fb.rec_hi, fb.recon_gain)
+
+    if max_level == 0:
+        return table[(0, 0)]
+    return _rebuild(0, 0)

@@ -55,3 +55,69 @@ def test_roundtrip_all_wavelets_wpt(fb, rng):
     x = rng.standard_normal(64)
     y = jw.wpt(jnp.asarray(x), fb.name, 3)
     np.testing.assert_allclose(np.asarray(jw.iwpt(y, fb.name, 3)), x, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# Best-basis selection (Coifman-Wickerhauser superset)
+# --------------------------------------------------------------------------
+
+class TestBestBasis:
+    def test_cover_and_exact_reconstruction(self, rng):
+        from jwave_tpu.transforms.wpt import best_basis, best_basis_reconstruct
+
+        x = jnp.asarray(rng.standard_normal(512))
+        bb = best_basis(x, "db4", 5)
+        assert sum(512 >> l for l, _ in bb.nodes) == 512  # disjoint dyadic cover
+        rec = best_basis_reconstruct(bb)
+        np.testing.assert_allclose(rec, x, atol=1e-10)
+
+    def test_beats_every_flat_basis(self, rng):
+        from jwave_tpu.transforms.wpt import _node_costs, best_basis
+
+        t = np.arange(1024) / 1024
+        x = jnp.asarray(np.sin(2 * np.pi * 150 * t) * np.exp(-((t - 0.5) / 0.08) ** 2))
+        bb = best_basis(x, "sym5", 6)
+        for level in range(7):
+            flat = float(_node_costs(jw.wpt(x, "sym5", level), level, "shannon", 0.0).sum())
+            assert bb.cost <= flat + 1e-9
+
+    def test_localized_tone_selects_deep_nodes(self, rng):
+        from jwave_tpu.transforms.wpt import best_basis
+
+        t = np.arange(1024) / 1024
+        x = jnp.asarray(np.sin(2 * np.pi * 200 * t))
+        bb = best_basis(x, "db4", 6)
+        # a pure tone concentrates in a frequency band: some splitting wins
+        assert max(l for l, _ in bb.nodes) >= 2
+
+    def test_costs_and_errors(self, rng):
+        from jwave_tpu.transforms.wpt import best_basis, best_basis_reconstruct
+
+        x = jnp.asarray(rng.standard_normal(256))
+        for cost in ("shannon", "threshold", "l1"):
+            bb = best_basis(x, "Haar", 4, cost=cost, threshold=0.5)
+            np.testing.assert_allclose(best_basis_reconstruct(bb), x, atol=1e-10)
+        with pytest.raises(jw.JWaveFailure):
+            best_basis(x, "Haar", 3, cost="entropy9000")
+        with pytest.raises(jw.JWaveFailure):
+            best_basis(jnp.zeros(100), "Haar", 3)
+
+    def test_batched_shared_basis(self, rng):
+        from jwave_tpu.transforms.wpt import best_basis, best_basis_reconstruct
+
+        xb = jnp.asarray(rng.standard_normal((4, 256)))
+        bb = best_basis(xb, "db2", 4)
+        assert bb.coefficients[0].shape[:-1] == (4,)
+        np.testing.assert_allclose(best_basis_reconstruct(bb), xb, atol=1e-10)
+
+    def test_white_noise_prefers_shallow(self, rng):
+        from jwave_tpu.transforms.wpt import best_basis
+
+        # iid noise has no structure to exploit: cost gains from splitting
+        # are marginal, so the tree stays shallower than for a pure tone
+        x = jnp.asarray(rng.standard_normal(1024))
+        t = np.arange(1024) / 1024
+        tone = jnp.asarray(np.sin(2 * np.pi * 200 * t))
+        bb_noise = best_basis(x, "db4", 6)
+        bb_tone = best_basis(tone, "db4", 6)
+        assert len(bb_noise.nodes) <= len(bb_tone.nodes) * 2
