@@ -181,15 +181,15 @@ def cwt_model():
 # measured per-application times (ms), python bench.py on the v5e (f32,
 # conv precision HIGHEST) — round 2, 2026-08-17
 MEASURED_MS = {
-    "modwt_db4_L5 (MXU tiles)": (0.528, modwt_mxu_model),
-    "modwt_db4_L5 (Pallas cascade)": (2.016, modwt_pallas_model),
-    "modwt_db4_L5 (telescoped FFT)": (3.768, modwt_fft_model),
+    "modwt_db4_L5 (MXU tiles)": (0.531, modwt_mxu_model),
+    "modwt_db4_L5 (Pallas cascade)": (2.030, modwt_pallas_model),
+    "modwt_db4_L5 (telescoped FFT)": (3.756, modwt_fft_model),
     "fwt1d_db4_L8 (conv)": (1.355, fwt1d_model),
-    "fwt1d_db4_L8 (MXU tiles)": (0.288, fwt1d_mxu_model),
-    "fwt2d_db4_L6_2048": (0.624, fwt2d_model),
-    "fwt3d_db4_L4_256": (4.222, fwt3d_model),
+    "fwt1d_db4_L8 (MXU tiles)": (0.295, fwt1d_mxu_model),
+    "fwt2d_db4_L6_2048": (0.590, fwt2d_model),
+    "fwt3d_db4_L4_256": (4.227, fwt3d_model),
     "wpt_db4_L6 (fused conv)": (1.202, wpt_model),
-    "wpt_db4_L6 (MXU tiles)": (0.320, wpt_mxu_model),
+    "wpt_db4_L6 (MXU tiles)": (0.285, wpt_mxu_model),
     "cwt_morlet_64scales_1M": (13.37, cwt_model),
 }
 
