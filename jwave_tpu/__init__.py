@@ -102,6 +102,8 @@ from .transforms import (
     modwt_2d,
     shifting_forward,
     shifting_reverse,
+    wavelet_coherence,
+    xwt,
     best_basis,
     best_basis_reconstruct,
     wpt,
@@ -121,7 +123,8 @@ __all__ = [
     "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose", "fwt_split", "fwt_merge",
     "wpt", "iwpt", "BestBasis", "best_basis", "best_basis_reconstruct",
     "modwt", "imodwt", "modwt_1d", "imodwt_1d", "modwt_2d", "imodwt_2d",
-    "ConvolutionMethod", "cwt", "cwt_chunked", "cwt_direct", "icwt", "CWTResult", "PaddingType",
+    "ConvolutionMethod", "cwt", "cwt_chunked", "cwt_direct", "icwt", "xwt",
+    "wavelet_coherence", "CWTResult", "PaddingType",
     "generate_log_scales", "generate_linear_scales",
     "fft", "ifft", "aed_forward", "aed_reverse",
     "shifting_forward", "shifting_reverse",

@@ -223,3 +223,44 @@ def test_cwt_chunked_matches_full(rng):
         np.asarray(chunked.coefficients), np.asarray(full.coefficients), atol=1e-12
     )
     assert chunked.n_scales == 10
+
+
+# --------------------------------------------------------------------------
+# Cross-wavelet transform + coherence (superset)
+# --------------------------------------------------------------------------
+
+class TestCrossWavelet:
+    def test_xwt_self_is_power(self, rng):
+        sig = jnp.asarray(rng.standard_normal(512))
+        scales = jw.generate_log_scales(1e-2, 1e-1, 8)
+        xr = jw.xwt(sig, sig, scales, jw.MorletWavelet(1.0, 1.0), 100.0)
+        auto = jw.cwt(sig, scales, jw.MorletWavelet(1.0, 1.0), 100.0)
+        np.testing.assert_allclose(
+            np.asarray(xr.magnitude()), np.asarray(jnp.abs(auto.coefficients) ** 2), rtol=1e-6
+        )
+        # self cross-spectrum has zero phase
+        assert float(jnp.max(jnp.abs(xr.phase()))) < 1e-6
+
+    def test_coherence_detects_shared_band_and_phase(self, rng):
+        n, fs = 2048, 1000.0
+        t = np.arange(n) / fs
+        a = np.sin(2 * np.pi * 50 * t) + 0.5 * rng.standard_normal(n)
+        b = np.sin(2 * np.pi * 50 * t - np.pi / 4) + 0.5 * rng.standard_normal(n)
+        scales = jw.generate_log_scales(2e-3, 2e-1, 32)
+        r2, xr = jw.wavelet_coherence(jnp.asarray(a), jnp.asarray(b), scales,
+                                      jw.MorletWavelet(1.0, 1.0), fs)
+        assert float(r2.min()) >= 0.0 and float(r2.max()) <= 1.0
+        sc = np.asarray(scales)
+        shared = np.argmin(abs(sc - 1.0 / 50.0))
+        far = np.argmin(abs(sc - 1.0 / 400.0))
+        mid = slice(n // 4, 3 * n // 4)
+        assert float(jnp.mean(r2[shared, mid])) > 0.8
+        assert float(jnp.mean(r2[shared, mid])) > float(jnp.mean(r2[far, mid])) + 0.3
+        phase = float(jnp.angle(jnp.mean(xr.coefficients[shared, mid])))
+        assert abs(phase - np.pi / 4) < 0.15
+
+    def test_coherence_of_identical_signals_is_one(self, rng):
+        sig = jnp.asarray(rng.standard_normal(1024))
+        scales = jw.generate_log_scales(1e-2, 1e-1, 8)
+        r2, _ = jw.wavelet_coherence(sig, sig, scales, jw.MorletWavelet(1.0, 1.0), 100.0)
+        assert float(r2.min()) > 0.999
