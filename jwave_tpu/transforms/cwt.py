@@ -361,16 +361,23 @@ def _smooth_time_scale(power, scales, dt, boxcar: int = 3):
     """Torrence-Compo smoothing: Gaussian in time with std = scale/dt per
     scale row (the Morlet reproducing-kernel footprint), then a boxcar over
     adjacent scales. FFT-based in time (circular - adequate away from the
-    cone of influence), one fused program."""
+    cone of influence), one fused program. ``power`` may be complex (the
+    operator is linear, so the cross-spectrum smooths in one pass)."""
     n = power.shape[-1]
     pad = int(next_power_of_two(2 * n))
     freqs = np.fft.fftfreq(pad)  # cycles/sample
     fr = jnp.asarray(freqs)
     # per-scale Gaussian: exp(-0.5 (scale/dt)^2 w^2), w = 2 pi f
-    sig = jnp.asarray(np.asarray(scales, dtype=np.float64) / dt)[:, None]
+    sig = jnp.asarray(np.atleast_1d(np.asarray(scales, dtype=np.float64)) / dt)[:, None]
     ker = jnp.exp(-0.5 * (sig * (2 * np.pi * fr[None, :])) ** 2)
-    spec = jnp.fft.fft(power, n=pad, axis=-1)
-    sm = jnp.real(jnp.fft.ifft(spec * ker.astype(spec.dtype), axis=-1))[..., :n]
+    # the module's fft/ifft wrappers self-jit on TPU backends (eager FFT
+    # dispatch is UNIMPLEMENTED there — transforms/fft.py)
+    ext = jnp.concatenate(
+        [power, jnp.zeros(power.shape[:-1] + (pad - n,), power.dtype)], axis=-1
+    )
+    spec = _fft_any(ext)
+    sm = _ifft_any(spec * ker.astype(spec.dtype))[..., :n]
+    sm = sm if jnp.iscomplexobj(power) else jnp.real(sm)
     if boxcar > 1:
         # edge-replicated boxcar over the scale axis via cumulative sums
         sm = jnp.moveaxis(sm, -2, -1)
@@ -393,16 +400,16 @@ def wavelet_coherence(signal_a, signal_b, scales,
     1999): |S(W_ab / s)|^2 / (S(|W_a|^2 / s) * S(|W_b|^2 / s)) with the
     standard time-Gaussian + scale-boxcar smoothing S. Returns (R2, xwt_result).
     """
+    scales = np.atleast_1d(np.asarray(scales, dtype=np.float64))
     ra = cwt(signal_a, scales, wavelet, sampling_rate, padding)
     rb = cwt(signal_b, scales, wavelet, sampling_rate, padding)
     cross = ra.coefficients * jnp.conj(rb.coefficients)
-    s = jnp.asarray(np.atleast_1d(np.asarray(scales, dtype=np.float64)))[:, None]
+    s = jnp.asarray(scales)[:, None]
     dt = 1.0 / float(sampling_rate)
     sm = lambda p: _smooth_time_scale(p, scales, dt, boxcar)
-    num_r = sm(jnp.real(cross) / s)
-    num_i = sm(jnp.imag(cross) / s)
+    num = sm(cross / s)  # complex: one smoothing pass for both parts
     den = sm(jnp.abs(ra.coefficients) ** 2 / s) * sm(jnp.abs(rb.coefficients) ** 2 / s)
-    r2 = (num_r**2 + num_i**2) / jnp.maximum(den, 1e-30)
+    r2 = (jnp.real(num) ** 2 + jnp.imag(num) ** 2) / jnp.maximum(den, 1e-30)
     r2 = jnp.clip(r2, 0.0, 1.0)
     xr = CWTResult(cross, ra.scales, ra.time_axis, ra.sampling_rate, ra.wavelet_name)
     return r2, xr

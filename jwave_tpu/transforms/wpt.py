@@ -173,6 +173,8 @@ def best_basis(x, wavelet, max_level: int | None = None, cost: str = "shannon",
     steps = exponent_of_two(n)
     if max_level is None:
         max_level = steps
+    if max_level < 0:
+        raise JWaveFailure(f"best_basis - max_level {max_level} out of range [0, {steps}]")
     max_level = min(max_level, steps)
     lead = x.shape[:-1]
 
