@@ -7,8 +7,16 @@ the TPU build adds. Run with 8 virtual devices:
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python examples/sharded_example.py
 """
+import os
+
 import numpy as np
 import jax
+
+# Some environments (e.g. a site-customized default backend) ignore the
+# JAX_PLATFORMS env var once jax is imported; honor it explicitly so the
+# documented CPU-mesh invocation above always lands on the requested mesh.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import jwave_tpu as jw
 from jwave_tpu.parallel import (

@@ -98,6 +98,8 @@ from .transforms import (
     imodwt_2d,
     iwpt,
     modwt,
+    modwt_mra,
+    modwt_variance,
     modwt_1d,
     modwt_2d,
     shifting_forward,
@@ -123,6 +125,7 @@ __all__ = [
     "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose", "fwt_split", "fwt_merge",
     "wpt", "iwpt", "BestBasis", "best_basis", "best_basis_reconstruct",
     "modwt", "imodwt", "modwt_1d", "imodwt_1d", "modwt_2d", "imodwt_2d",
+    "modwt_mra", "modwt_variance",
     "ConvolutionMethod", "cwt", "cwt_chunked", "cwt_direct", "icwt", "xwt",
     "wavelet_coherence", "CWTResult", "PaddingType",
     "generate_log_scales", "generate_linear_scales",

@@ -413,3 +413,51 @@ def imodwt_2d(coeffs, wavelet, **kw):
     c = jnp.swapaxes(c, -1, -2)  # (..., J+1, R, C)
     c = jnp.moveaxis(c, -3, -2)  # (..., R, J+1, C)
     return imodwt(c, wavelet, **kw)  # (..., R, C)
+
+
+def modwt_mra(x, wavelet, level: int, **kw):
+    """MODWT multiresolution analysis: additive detail/smooth decomposition.
+
+    Returns (..., J+1, N): rows [D_1 .. D_J, S_J] with ``sum(rows) == x``
+    exactly (each row is the inverse MODWT of one isolated subband; the
+    inverse is linear, so the rows partition the signal). The classic
+    wmtsa/PyWavelets ``mra`` companion the reference lacks — and because the
+    band isolation is a diagonal mask, all J+1 inverses run as ONE batched
+    inverse on the subband axis (MXU path on TPU).
+    """
+    coeffs = modwt(x, wavelet, level, **kw)  # (..., J+1, N)
+    rows = level + 1
+    eye = jnp.eye(rows, dtype=coeffs.dtype)  # (rows, rows)
+    # (..., band b, J+1, N): subband j kept only where j == b
+    isolated = eye[:, :, None] * coeffs[..., None, :, :]
+    return imodwt(isolated, wavelet, **kw)  # (..., J+1, N)
+
+
+def modwt_variance(x, wavelet, level: int, unbiased: bool = True, **kw):
+    """Wavelet variance per level: nu_j^2 = E[W_j^2] (Percival & Walden ch. 8).
+
+    ``unbiased=True`` drops the L_j - 1 boundary coefficients of each level
+    (L_j = (M-1)(2^j - 1) + 1, the level-j filter support) so only
+    coefficients unaffected by circular wrap are averaged — the standard
+    estimator. Returns (..., J) detail-level variances (the V_J row is
+    excluded, as in wmtsa). Requires N > L_J - 1 for the unbiased form.
+    """
+    from ..filters import get_filter
+
+    coeffs = modwt(x, wavelet, level, **kw)  # (..., J+1, N)
+    n = coeffs.shape[-1]
+    m = get_filter(wavelet).length
+    details = coeffs[..., :level, :]
+    if not unbiased:
+        return jnp.mean(details * details, axis=-1)
+    out = []
+    for j in range(1, level + 1):
+        l_j = (m - 1) * ((1 << j) - 1) + 1
+        if n - (l_j - 1) <= 0:
+            raise JWaveFailure(
+                f"modwt_variance - unbiased estimator needs N > L_j - 1 = {l_j - 1} "
+                f"at level {j} (N = {n}); pass unbiased=False"
+            )
+        w = details[..., j - 1, l_j - 1:]
+        out.append(jnp.mean(w * w, axis=-1))
+    return jnp.stack(out, axis=-1)

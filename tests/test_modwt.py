@@ -182,3 +182,41 @@ def test_empty_input_parity():
     (MODWTTransform.java:267-274) instead of raising."""
     out = np.asarray(jw.modwt(jnp.zeros(0), "Haar", 3))
     assert out.shape == (4, 0)
+
+
+# --------------------------------------------------------------------------
+# MRA + wavelet variance (wmtsa-style supersets)
+# --------------------------------------------------------------------------
+
+class TestMRAandVariance:
+    def test_mra_additivity_any_length(self, rng):
+        for n in (500, 512, 1000):
+            x = jnp.asarray(rng.standard_normal((2, n)))
+            mra = jw.modwt_mra(x, "db4", 4)
+            assert mra.shape == (2, 5, n)
+            np.testing.assert_allclose(np.asarray(mra.sum(axis=-2)), np.asarray(x), atol=1e-10)
+
+    def test_mra_rows_are_isolated_bands(self, rng):
+        x = jnp.asarray(rng.standard_normal(256))
+        coeffs = jw.modwt(x, "Haar", 3)
+        mra = jw.modwt_mra(x, "Haar", 3)
+        for j in range(4):
+            iso = jnp.zeros_like(coeffs).at[j].set(coeffs[j])
+            np.testing.assert_allclose(
+                np.asarray(mra[j]), np.asarray(jw.imodwt(iso, "Haar")), atol=1e-11
+            )
+
+    def test_variance_matches_white_noise_theory(self, rng):
+        sig = 1.5
+        x = jnp.asarray(sig * rng.standard_normal(60000))
+        v = np.asarray(jw.modwt_variance(x, "db4", 4))
+        expect = np.array([sig**2 / 2**j for j in range(1, 5)])
+        np.testing.assert_allclose(v, expect, rtol=0.08)
+
+    def test_variance_biased_vs_unbiased_and_guard(self, rng):
+        x = jnp.asarray(rng.standard_normal((3, 300)))
+        vb = jw.modwt_variance(x, "db2", 3, unbiased=False)
+        vu = jw.modwt_variance(x, "db2", 3, unbiased=True)
+        assert vb.shape == vu.shape == (3, 3)
+        with pytest.raises(jw.JWaveFailure):
+            jw.modwt_variance(jnp.zeros(16), "db20", 4)
