@@ -106,6 +106,9 @@ from .transforms import (
     shifting_reverse,
     wavelet_coherence,
     xwt,
+    ssq_cwt,
+    issq_cwt,
+    SSQResult,
     best_basis,
     best_basis_reconstruct,
     wpt,
@@ -128,6 +131,7 @@ __all__ = [
     "modwt_mra", "modwt_variance",
     "ConvolutionMethod", "cwt", "cwt_chunked", "cwt_direct", "icwt", "xwt",
     "wavelet_coherence", "CWTResult", "PaddingType",
+    "ssq_cwt", "issq_cwt", "SSQResult",
     "generate_log_scales", "generate_linear_scales",
     "fft", "ifft", "aed_forward", "aed_reverse",
     "shifting_forward", "shifting_reverse",

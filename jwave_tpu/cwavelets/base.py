@@ -19,6 +19,9 @@ def to_complex(val):
 class ContinuousWavelet:
     name: str = "continuous"
     center_frequency: float = 0.0
+    #: True when psi_hat is (numerically) supported on positive frequencies
+    #: only — required by synchrosqueezing's instantaneous-frequency estimate.
+    is_analytic: bool = False
 
     def psi(self, t):
         """Mother wavelet psi(t); accepts/returns jnp arrays (complex)."""

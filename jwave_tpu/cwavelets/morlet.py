@@ -21,6 +21,9 @@ class MorletWavelet(ContinuousWavelet):
         self.fc = float(fc)
         self.name = "Morlet"
         self.center_frequency = fc
+        # Gaussian psi_hat centered at fc: negative-frequency tail is
+        # exp(-2 pi^2 fb fc^2) (~3e-9 at the defaults) — analytic in practice
+        self.is_analytic = True
 
     def psi(self, t):
         t = jnp.asarray(t)

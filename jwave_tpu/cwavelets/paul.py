@@ -30,6 +30,7 @@ class PaulWavelet(ContinuousWavelet):
         self.i_pow_m = 1j**m
         self.name = f"Paul (m={m})"
         self.center_frequency = (m + 0.5) / (2.0 * math.pi)
+        self.is_analytic = True  # psi_hat is exactly zero for w <= 0
 
     def psi(self, t):
         t = jnp.asarray(t)

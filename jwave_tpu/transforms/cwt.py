@@ -248,6 +248,39 @@ def cwt_direct(
     return CWTResult(res, jnp.asarray(scales), time_axis, fs, wav.name)
 
 
+def _resolve_wavelet_by_name(name: str, caller: str) -> ContinuousWavelet:
+    """Rebuild a wavelet from a result's stored display name, warning when
+    that loses constructor parameters.
+
+    Parameterized wavelets (Paul(m), DOG(n, sigma), Morlet(fb, fc),
+    MexicanHat(sigma)) lose their parameters in the stored name — a
+    name-based lookup silently reconstructs with *default* parameters, which
+    inverts wrongly if the forward used non-defaults.
+    """
+    try:
+        wav = get_continuous_wavelet(name)
+    except Exception:
+        wav = get_continuous_wavelet(name.split(" ")[0])
+    import inspect
+
+    ctor_params = [
+        p for p in inspect.signature(type(wav).__init__).parameters.values()
+        if p.name != "self"
+        and p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY)
+    ]
+    if ctor_params:
+        import warnings
+
+        warnings.warn(
+            f"{caller}: reconstructing wavelet {name!r} by name uses "
+            "default parameters; pass the original wavelet object for exact "
+            "inversion of parameterized wavelets (Paul(m), DOG(n, sigma), "
+            "Morlet(fb, fc), MexicanHat(sigma))",
+            stacklevel=3,
+        )
+    return wav
+
+
 def icwt(result: CWTResult, wavelet: ContinuousWavelet | str | None = None, reg: float = 1e-10):
     """Approximate inverse CWT (capability superset — the reference raises,
     ContinuousWaveletTransform.java:128-132).
@@ -263,31 +296,7 @@ def icwt(result: CWTResult, wavelet: ContinuousWavelet | str | None = None, reg:
     and in-band reconstruction is to rounding).
     """
     if wavelet is None:
-        # parameterized wavelets (Paul(m), DOG(n, sigma), Morlet(fb, fc),
-        # MexicanHat(sigma)) lose their parameters in the stored name — a
-        # name-based lookup silently reconstructs with *default* parameters,
-        # which inverts wrongly if the forward used non-defaults
-        try:
-            wav = get_continuous_wavelet(result.wavelet_name)
-        except Exception:
-            wav = get_continuous_wavelet(result.wavelet_name.split(" ")[0])
-        import inspect
-
-        ctor_params = [
-            p for p in inspect.signature(type(wav).__init__).parameters.values()
-            if p.name != "self"
-            and p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY)
-        ]
-        if ctor_params:
-            import warnings
-
-            warnings.warn(
-                f"icwt: reconstructing wavelet {result.wavelet_name!r} by name uses "
-                "default parameters; pass the original wavelet object for exact "
-                "inversion of parameterized wavelets (Paul(m), DOG(n, sigma), "
-                "Morlet(fb, fc), MexicanHat(sigma))",
-                stacklevel=2,
-            )
+        wav = _resolve_wavelet_by_name(result.wavelet_name, caller="icwt")
     else:
         wav = get_continuous_wavelet(wavelet)
     coeffs = result.coefficients  # (..., S, N)

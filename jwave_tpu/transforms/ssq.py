@@ -1,0 +1,259 @@
+"""Synchrosqueezed CWT (Daubechies, Lu & Wu 2011) — capability superset.
+
+The reference library has no time-frequency reassignment of any kind; this
+module adds the standard synchrosqueezing transform on top of the fused CWT,
+designed TPU-first:
+
+- The CWT and its exact time derivative come out of ONE batched program: the
+  filter bank ``[psi_hat(a w), i w psi_hat(a w)]`` is stacked on the scale
+  axis, so a single (2*scales, freq) multiply + one batched inverse FFT
+  yields both (no finite differences, no second pass over the signal FFT).
+- The phase transform (instantaneous frequency) is elementwise on the
+  (scales, time) grid.
+- Frequency reassignment is one batched ``scatter-add`` into log-spaced
+  frequency bins with invalid entries routed to an out-of-bounds row and
+  dropped in-kernel (``mode="drop"``) — no host round trips, jit/vmap/grad
+  compatible.
+
+Reconstruction (``issq_cwt``) uses the one-integral formula
+``x(b) = 2 Re[ (1/C) sum_k Tx(f_k, b) ]`` with the wavelet constant
+``C = integral_0^inf conj(psi_hat(u))/u du`` computed numerically from the
+same ``psi_hat`` the forward used, so the library's wavelet normalization
+quirks (e.g. the reference's Morlet psi_hat scaling,
+MorletWavelet.java:114-124) cancel exactly.
+
+Synchrosqueezing requires an analytic wavelet (Morlet, Paul): for a real
+signal the instantaneous-frequency estimate Im[dW/W]/2pi is only meaningful
+when the wavelet suppresses negative frequencies.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..cwavelets import ContinuousWavelet, get_continuous_wavelet
+from ..exceptions import JWaveFailure
+from ..utils.numerics import next_power_of_two
+from .cwt import PaddingType, _omega_axis, pad_signal
+from .fft import fft as _fft_any, ifft as _ifft_any
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SSQResult:
+    """Synchrosqueezed-CWT output as a jax pytree.
+
+    ``Tx`` has shape (..., n_freqs, n_time), complex: the CWT energy of each
+    time column reassigned onto the ``frequencies`` grid (Hz, increasing).
+    """
+
+    Tx: jnp.ndarray
+    frequencies: jnp.ndarray
+    scales: jnp.ndarray
+    time_axis: jnp.ndarray
+    sampling_rate: float
+    wavelet_name: str
+
+    def tree_flatten(self):
+        return (self.Tx, self.frequencies, self.scales, self.time_axis), (
+            self.sampling_rate,
+            self.wavelet_name,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def magnitude(self):
+        return jnp.abs(self.Tx)
+
+    def ridge(self):
+        """Dominant instantaneous frequency per time step (Hz): the
+        frequency bin with maximal |Tx| in each time column."""
+        return self.frequencies[jnp.argmax(jnp.abs(self.Tx), axis=-2)]
+
+    @property
+    def n_freqs(self) -> int:
+        return self.Tx.shape[-2]
+
+    @property
+    def n_time(self) -> int:
+        return self.Tx.shape[-1]
+
+
+def _log_measure(scales: np.ndarray) -> np.ndarray:
+    """d(ln a) per scale for a monotone grid (central differences; exact for
+    log-spaced grids). This is the integration measure of the one-integral
+    inverse ``integral W(a,b) a^{-3/2} da = sum_j W_j a_j^{-1/2} dln(a_j)``."""
+    v = np.log(scales)
+    if v.shape[0] == 1:
+        return np.ones(1)
+    return np.abs(np.gradient(v))
+
+
+def one_integral_constant(wavelet: ContinuousWavelet) -> complex:
+    """``C = integral_0^inf conj(psi_hat(u))/u du`` evaluated numerically.
+
+    Substituting u = e^v turns it into a plain trapezoid over
+    ``conj(psi_hat(e^v))``. The grid spans [1e-4, 50] x the wavelet's peak
+    angular frequency — beyond that both Morlet's Gaussian and Paul's
+    ``w^m e^-w`` are numerically zero (Morlet's tiny psi_hat(0) > 0 makes the
+    true integral log-divergent, but its contribution below the cutoff is
+    ~1e-7 of C; see module docstring).
+    """
+    w_peak = 2.0 * math.pi * max(wavelet.center_frequency, 1e-3)
+    v = np.linspace(math.log(w_peak * 1e-4), math.log(w_peak * 50.0), 4096)
+    vals = np.conj(np.asarray(wavelet.psi_hat(jnp.asarray(np.exp(v)))))
+    trapezoid = getattr(np, "trapezoid", np.trapz)
+    return complex(trapezoid(vals, v))
+
+
+def ssq_cwt(
+    signal,
+    scales,
+    wavelet: ContinuousWavelet | str = "morlet",
+    sampling_rate: float = 1.0,
+    padding: PaddingType = PaddingType.SYMMETRIC,
+    frequencies=None,
+    gamma: float | None = None,
+    out_of_range: str = "clip",
+) -> SSQResult:
+    """Synchrosqueezed CWT of a real signal.
+
+    Args:
+      signal: (..., N) real; batched over leading axes.
+      scales: monotone scale grid in seconds (log-spaced recommended; see
+        :func:`jwave_tpu.generate_log_scales`).
+      wavelet: an *analytic* continuous wavelet (Morlet or Paul).
+      frequencies: target bin grid — None (log-spaced, one bin per scale,
+        spanning the scale grid's own frequency range), an int (that many
+        log-spaced bins over the same range), or an explicit increasing
+        array in Hz.
+      gamma: |W| threshold below which coefficients are not reassigned
+        (phase is noise there). Default: 10*sqrt(eps(dtype)) * max|W| per
+        signal.
+      out_of_range: what to do with above-threshold coefficients whose
+        instantaneous frequency falls outside the bin grid — "clip"
+        (default) reassigns them to the nearest edge bin (non-positive
+        estimates go to the lowest bin), preserving the coefficient sum
+        exactly; multi-component interference beats routinely swing f_inst
+        off the grid or negative, and dropping that mass costs ~1%
+        reconstruction error on two-tone signals. "drop" discards it for a
+        cleaner display.
+
+    Returns an :class:`SSQResult`; ``sum_k Tx[k, b]`` over bins equals the
+    weighted scale sum ``sum_j W(a_j, b) a_j^{-1/2} dln(a_j)`` of the kept
+    coefficients, which is what :func:`issq_cwt` inverts.
+    """
+    wav = get_continuous_wavelet(wavelet)
+    if not wav.is_analytic:
+        raise JWaveFailure(
+            f"ssq_cwt - synchrosqueezing needs an analytic wavelet (Morlet, "
+            f"Paul); {wav.name!r} has negative-frequency support, so the "
+            f"instantaneous-frequency estimate of a real signal is meaningless"
+        )
+    scales_np = np.atleast_1d(np.asarray(scales, dtype=np.float64))
+    if scales_np.ndim != 1 or scales_np.shape[0] < 2:
+        raise JWaveFailure("ssq_cwt - need a 1D grid of at least 2 scales")
+    fs = float(sampling_rate)
+    n = signal.shape[-1]
+    n_scales = scales_np.shape[0]
+
+    # -- frequency bin grid (Hz, increasing, log-spaced unless given) -------
+    fc = wav.center_frequency
+    if frequencies is None or isinstance(frequencies, int):
+        k = n_scales if frequencies is None else int(frequencies)
+        f_lo = fc / scales_np.max()
+        f_hi = fc / scales_np.min()
+        freqs_np = np.exp(np.linspace(math.log(f_lo), math.log(f_hi), k))
+    else:
+        freqs_np = np.asarray(frequencies, dtype=np.float64)
+        if freqs_np.ndim != 1 or freqs_np.shape[0] < 2 or np.any(np.diff(freqs_np) <= 0):
+            raise JWaveFailure("ssq_cwt - frequencies must be a 1D increasing grid")
+    n_bins = freqs_np.shape[0]
+    log_f = np.log(freqs_np)
+    # bin k spacing for index mapping; non-uniform explicit grids use the
+    # mean spacing (exact for log/linear-in-log grids)
+    dlf = (log_f[-1] - log_f[0]) / (n_bins - 1)
+
+    # -- one fused pass: W and dW/db from a stacked filter bank -------------
+    padded_len = next_power_of_two(n)
+    padded = pad_signal(signal, padded_len, padding)
+    sig_fft = _fft_any(padded)  # (..., P)
+    omega = _omega_axis(padded_len, fs)  # (P,) angular, negative fold
+    a = jnp.asarray(scales_np)[:, None]  # (S, 1)
+    w_hat = jnp.conj(wav.psi_hat_scaled(jnp.asarray(omega)[None, :], a))  # (S, P)
+    bank = jnp.concatenate([w_hat, w_hat * (1j * jnp.asarray(omega))[None, :]], axis=0)
+    out = _ifft_any(sig_fft[..., None, :] * bank)[..., :n]  # (..., 2S, N)
+    W = out[..., :n_scales, :]
+    dW = out[..., n_scales:, :]
+
+    # -- phase transform: instantaneous frequency in Hz ---------------------
+    mag2 = jnp.real(W) ** 2 + jnp.imag(W) ** 2
+    f_inst = jnp.imag(dW * jnp.conj(W)) / jnp.where(mag2 > 0, mag2, 1.0) / (2.0 * math.pi)
+
+    if gamma is None:
+        eps = jnp.finfo(W.real.dtype).eps
+        gamma_abs = 10.0 * jnp.sqrt(eps) * jnp.sqrt(
+            jnp.max(mag2, axis=(-2, -1), keepdims=True)
+        )
+    else:
+        gamma_abs = jnp.asarray(gamma, dtype=W.real.dtype)
+    keep = mag2 > gamma_abs * gamma_abs
+    if out_of_range not in ("clip", "drop"):
+        raise JWaveFailure(f"ssq_cwt - out_of_range must be 'clip' or 'drop', got {out_of_range!r}")
+    if out_of_range == "drop":
+        # a non-positive frequency estimate has no meaningful bin — display
+        # mode discards it (clip mode routes it to the lowest bin so the
+        # coefficient sum, and hence issq_cwt, stays exact)
+        keep = keep & (f_inst > 0)
+
+    # -- reassignment: weighted scatter-add into the bin grid ---------------
+    wgt = jnp.asarray(scales_np ** -0.5 * _log_measure(scales_np))[:, None]  # (S, 1)
+    contrib = W * wgt.astype(W.real.dtype)
+    # log-distance bin index; invalid -> n_bins, dropped in-kernel
+    safe_f = jnp.where(keep & (f_inst > 0), f_inst, freqs_np[0])
+    k_idx = jnp.round((jnp.log(safe_f) - log_f[0]) / dlf).astype(jnp.int32)
+    if out_of_range == "clip":
+        k_idx = jnp.clip(k_idx, 0, n_bins - 1)
+        k_idx = jnp.where(keep, k_idx, n_bins)
+    else:
+        k_idx = jnp.where(keep & (k_idx >= 0) & (k_idx < n_bins), k_idx, n_bins)
+
+    b_idx = jnp.broadcast_to(jnp.arange(n), (n_scales, n))
+
+    def _reassign_one(c, k):
+        return jnp.zeros((n_bins, n), c.dtype).at[k, b_idx].add(c, mode="drop")
+
+    fn = _reassign_one
+    for _ in range(W.ndim - 2):
+        fn = jax.vmap(fn)
+    tx = fn(contrib, k_idx)
+
+    time_axis = jnp.arange(n) / fs
+    return SSQResult(tx, jnp.asarray(freqs_np), jnp.asarray(scales_np), time_axis, fs, wav.name)
+
+
+def issq_cwt(result: SSQResult, wavelet: ContinuousWavelet | str | None = None):
+    """Reconstruct the real signal from its synchrosqueezed transform:
+    ``x(b) = 2 Re[ (1/C) sum_k Tx(f_k, b) ]`` (Daubechies-Lu-Wu eq. 2.5,
+    discretized over the forward's log-scale measure).
+
+    Accuracy is set by the scale grid: the grid must cover the wavelet's
+    response around every signal frequency, and density controls how well
+    ``sum_j psi_hat(a_j w) dln(a_j)`` approximates the constant C (32+
+    scales per octave reconstructs to ~1e-3 relative).
+    """
+    if wavelet is None:
+        from .cwt import _resolve_wavelet_by_name
+
+        wav = _resolve_wavelet_by_name(result.wavelet_name, caller="issq_cwt")
+    else:
+        wav = get_continuous_wavelet(wavelet)
+    c = one_integral_constant(wav)
+    total = jnp.sum(result.Tx, axis=-2)
+    return 2.0 * jnp.real(total / jnp.asarray(c))
