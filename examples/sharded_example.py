@@ -28,6 +28,7 @@ from jwave_tpu.parallel import (
     gather_pyramid,
     make_mesh,
     modwt_halo_sharded,
+    ssq_scale_sharded,
 )
 
 
@@ -46,6 +47,14 @@ def main():
     sig = rng.standard_normal(2048)
     res = cwt_scale_sharded(sig, jw.generate_log_scales(0.5, 64.0, 4 * n_dev), "morlet", mesh)
     print("scale-sharded CWT:", res.coefficients.shape)
+
+    # 2b. synchrosqueezing: each chip squeezes its scales, one psum of planes
+    fs = 1000.0
+    tone = np.cos(2 * np.pi * 50.0 * np.arange(2048) / fs)
+    sres = ssq_scale_sharded(
+        tone, jw.generate_log_scales(0.002, 0.2, 4 * n_dev), "morlet", mesh, fs
+    )
+    print("scale-sharded SSQ-CWT:", np.asarray(sres.Tx).shape)
 
     # 3. 2D FWT: rows local -> all_to_all transpose -> columns local
     img = rng.standard_normal((8 * n_dev, 8 * n_dev))

@@ -24,6 +24,7 @@ from .sharded import (
     batch_sharded,
     cwt_batch_scale_sharded,
     cwt_scale_sharded,
+    ssq_scale_sharded,
     cwt_time_sharded,
     fwt2d_sharded,
     ifwt2d_sharded,
@@ -46,6 +47,7 @@ __all__ = [
     "initialize_distributed",
     "batch_sharded",
     "cwt_scale_sharded",
+    "ssq_scale_sharded",
     "cwt_batch_scale_sharded",
     "cwt_time_sharded",
     "fwt2d_sharded",

@@ -192,6 +192,97 @@ def cwt_scale_sharded(
     return CWTResult(coeffs, jnp.asarray(scales), time_axis, float(sampling_rate), wav.name)
 
 
+def ssq_scale_sharded(
+    signal,
+    scales,
+    wavelet,
+    mesh: Mesh,
+    sampling_rate: float = 1.0,
+    padding: PaddingType = PaddingType.SYMMETRIC,
+    frequencies=None,
+    gamma: float | None = None,
+    out_of_range: str = "clip",
+    axis_name: str | None = None,
+):
+    """Synchrosqueezed CWT with the scales axis sharded over the mesh.
+
+    Each chip evaluates its own block of wavelet spectra + derivative
+    spectra, squeezes that block into the FULL (replicated) frequency-bin
+    grid, and one ``psum`` merges the per-chip planes — reassignment is a
+    per-scale scatter, so the bins simply add across chips. The default
+    |W| threshold needs the global coefficient maximum, obtained with a
+    ``pmax`` (the only other collective on this path). Matches
+    :func:`jwave_tpu.ssq_cwt` exactly (same weights, same grid).
+    """
+    from ..transforms.ssq import SSQResult, _default_bins, _log_measure, _squeeze_plane
+
+    axis_name = axis_name or mesh.axis_names[0]
+    n_dev = mesh.shape[axis_name]
+    wav = get_continuous_wavelet(wavelet)
+    if not wav.is_analytic:
+        raise JWaveFailure(
+            f"ssq_scale_sharded - synchrosqueezing needs an analytic wavelet "
+            f"(Morlet, Paul); got {wav.name!r}"
+        )
+    scales_np = np.atleast_1d(np.asarray(scales, dtype=np.float64))
+    if scales_np.shape[0] % n_dev != 0:
+        raise JWaveFailure(
+            f"ssq_scale_sharded - number of scales {scales_np.shape[0]} must "
+            f"divide evenly over {n_dev} devices"
+        )
+    if scales_np.shape[0] < 2:
+        raise JWaveFailure("ssq_scale_sharded - need at least 2 scales")
+    freqs_np = _default_bins(scales_np, wav.center_frequency, frequencies)
+    # the log measure needs neighbor scales, so it is computed on the GLOBAL
+    # grid and sharded alongside the scales
+    wgt_np = scales_np ** -0.5 * _log_measure(scales_np)
+    n = signal.shape[-1]
+    padded_len = next_power_of_two(n)
+    lead = signal.ndim - 1
+    fs = float(sampling_rate)
+
+    def _build():
+        omega = jnp.asarray(_omega_axis(padded_len, fs))
+
+        def _local(sig_fft, scales_loc, wgt_loc):
+            a = scales_loc[:, None]
+            w_hat = jnp.conj(wav.psi_hat_scaled(omega[None, :], a))
+            bank = jnp.concatenate([w_hat, w_hat * (1j * omega)[None, :]], axis=0)
+            out = jnp.fft.ifft(sig_fft[..., None, :] * bank, axis=-1)[..., :n]
+            s_loc = scales_loc.shape[0]
+            W, dW = out[..., :s_loc, :], out[..., s_loc:, :]
+            if gamma is None:
+                mag2 = jnp.real(W) ** 2 + jnp.imag(W) ** 2
+                gmax = lax.pmax(jnp.max(mag2, axis=(-2, -1), keepdims=True), axis_name)
+                eps = jnp.finfo(W.real.dtype).eps
+                gamma_abs = 10.0 * jnp.sqrt(eps) * jnp.sqrt(gmax)
+            else:
+                gamma_abs = jnp.asarray(gamma, dtype=W.real.dtype)
+            tx_loc = _squeeze_plane(W, dW, wgt_loc, freqs_np, gamma_abs, out_of_range)
+            return lax.psum(tx_loc, axis_name)
+
+        mapped = shard_map(
+            _local, mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name)),
+            out_specs=P(),
+        )
+
+        @jax.jit
+        def run(sig, sc, wg):
+            sig_fft = jnp.fft.fft(pad_signal(sig, padded_len, padding), axis=-1)
+            return mapped(sig_fft, sc, wg)
+
+        return run
+
+    run = _get_or_build(
+        ("ssq_scale", mesh, axis_name, _wav_key(wav), n, lead, fs, padding,
+         freqs_np.tobytes(), gamma, out_of_range), _build
+    )
+    tx = run(jnp.asarray(signal), jnp.asarray(scales_np), jnp.asarray(wgt_np))
+    time_axis = jnp.arange(n) / fs
+    return SSQResult(tx, jnp.asarray(freqs_np), jnp.asarray(scales_np), time_axis, fs, wav.name)
+
+
 # --------------------------------------------------------------------------
 # separable 2D transforms: row shards + all_to_all distributed transpose
 # --------------------------------------------------------------------------

@@ -112,6 +112,66 @@ def one_integral_constant(wavelet: ContinuousWavelet) -> complex:
     return complex(trapezoid(vals, v))
 
 
+def _prepare_bins(freqs_np: np.ndarray):
+    """(log f0, d log f) of the bin grid for index mapping."""
+    log_f = np.log(freqs_np)
+    return log_f[0], (log_f[-1] - log_f[0]) / (freqs_np.shape[0] - 1)
+
+
+def _squeeze_plane(W, dW, wgt, freqs_np: np.ndarray, gamma_abs, out_of_range: str):
+    """Phase transform + weighted reassignment of a (…, S, N) coefficient
+    block into the (…, K, N) bin grid. ``wgt`` is the per-scale measure
+    ``a^{-1/2} dln(a)`` (shape (S,)); ``gamma_abs`` the absolute |W|
+    threshold (broadcastable). Shared by the single-device and the
+    scale-sharded paths — a sharded caller squeezes its local scale block
+    with the full grid and psums the planes.
+    """
+    n_scales, n = W.shape[-2:]
+    n_bins = freqs_np.shape[0]
+    log_f0, dlf = _prepare_bins(freqs_np)
+
+    mag2 = jnp.real(W) ** 2 + jnp.imag(W) ** 2
+    f_inst = jnp.imag(dW * jnp.conj(W)) / jnp.where(mag2 > 0, mag2, 1.0) / (2.0 * math.pi)
+
+    keep = mag2 > gamma_abs * gamma_abs
+    if out_of_range not in ("clip", "drop"):
+        raise JWaveFailure(f"ssq_cwt - out_of_range must be 'clip' or 'drop', got {out_of_range!r}")
+    if out_of_range == "drop":
+        keep = keep & (f_inst > 0)
+
+    contrib = W * jnp.asarray(wgt, W.real.dtype)[:, None]
+    safe_f = jnp.where(keep & (f_inst > 0), f_inst, freqs_np[0])
+    k_idx = jnp.round((jnp.log(safe_f) - log_f0) / dlf).astype(jnp.int32)
+    if out_of_range == "clip":
+        k_idx = jnp.clip(k_idx, 0, n_bins - 1)
+        k_idx = jnp.where(keep, k_idx, n_bins)
+    else:
+        k_idx = jnp.where(keep & (k_idx >= 0) & (k_idx < n_bins), k_idx, n_bins)
+
+    b_idx = jnp.broadcast_to(jnp.arange(n), (n_scales, n))
+
+    def _reassign_one(c, k):
+        return jnp.zeros((n_bins, n), c.dtype).at[k, b_idx].add(c, mode="drop")
+
+    fn = _reassign_one
+    for _ in range(W.ndim - 2):
+        fn = jax.vmap(fn)
+    return fn(contrib, k_idx)
+
+
+def _default_bins(scales_np: np.ndarray, fc: float, frequencies) -> np.ndarray:
+    """Resolve the frequencies argument into an increasing Hz grid."""
+    if frequencies is None or isinstance(frequencies, int):
+        k = scales_np.shape[0] if frequencies is None else int(frequencies)
+        f_lo = fc / scales_np.max()
+        f_hi = fc / scales_np.min()
+        return np.exp(np.linspace(math.log(f_lo), math.log(f_hi), k))
+    freqs_np = np.asarray(frequencies, dtype=np.float64)
+    if freqs_np.ndim != 1 or freqs_np.shape[0] < 2 or np.any(np.diff(freqs_np) <= 0):
+        raise JWaveFailure("ssq_cwt - frequencies must be a 1D increasing grid")
+    return freqs_np
+
+
 def ssq_cwt(
     signal,
     scales,
@@ -162,23 +222,7 @@ def ssq_cwt(
     fs = float(sampling_rate)
     n = signal.shape[-1]
     n_scales = scales_np.shape[0]
-
-    # -- frequency bin grid (Hz, increasing, log-spaced unless given) -------
-    fc = wav.center_frequency
-    if frequencies is None or isinstance(frequencies, int):
-        k = n_scales if frequencies is None else int(frequencies)
-        f_lo = fc / scales_np.max()
-        f_hi = fc / scales_np.min()
-        freqs_np = np.exp(np.linspace(math.log(f_lo), math.log(f_hi), k))
-    else:
-        freqs_np = np.asarray(frequencies, dtype=np.float64)
-        if freqs_np.ndim != 1 or freqs_np.shape[0] < 2 or np.any(np.diff(freqs_np) <= 0):
-            raise JWaveFailure("ssq_cwt - frequencies must be a 1D increasing grid")
-    n_bins = freqs_np.shape[0]
-    log_f = np.log(freqs_np)
-    # bin k spacing for index mapping; non-uniform explicit grids use the
-    # mean spacing (exact for log/linear-in-log grids)
-    dlf = (log_f[-1] - log_f[0]) / (n_bins - 1)
+    freqs_np = _default_bins(scales_np, wav.center_frequency, frequencies)
 
     # -- one fused pass: W and dW/db from a stacked filter bank -------------
     padded_len = next_power_of_two(n)
@@ -192,47 +236,17 @@ def ssq_cwt(
     W = out[..., :n_scales, :]
     dW = out[..., n_scales:, :]
 
-    # -- phase transform: instantaneous frequency in Hz ---------------------
-    mag2 = jnp.real(W) ** 2 + jnp.imag(W) ** 2
-    f_inst = jnp.imag(dW * jnp.conj(W)) / jnp.where(mag2 > 0, mag2, 1.0) / (2.0 * math.pi)
-
     if gamma is None:
+        mag2 = jnp.real(W) ** 2 + jnp.imag(W) ** 2
         eps = jnp.finfo(W.real.dtype).eps
         gamma_abs = 10.0 * jnp.sqrt(eps) * jnp.sqrt(
             jnp.max(mag2, axis=(-2, -1), keepdims=True)
         )
     else:
         gamma_abs = jnp.asarray(gamma, dtype=W.real.dtype)
-    keep = mag2 > gamma_abs * gamma_abs
-    if out_of_range not in ("clip", "drop"):
-        raise JWaveFailure(f"ssq_cwt - out_of_range must be 'clip' or 'drop', got {out_of_range!r}")
-    if out_of_range == "drop":
-        # a non-positive frequency estimate has no meaningful bin — display
-        # mode discards it (clip mode routes it to the lowest bin so the
-        # coefficient sum, and hence issq_cwt, stays exact)
-        keep = keep & (f_inst > 0)
 
-    # -- reassignment: weighted scatter-add into the bin grid ---------------
-    wgt = jnp.asarray(scales_np ** -0.5 * _log_measure(scales_np))[:, None]  # (S, 1)
-    contrib = W * wgt.astype(W.real.dtype)
-    # log-distance bin index; invalid -> n_bins, dropped in-kernel
-    safe_f = jnp.where(keep & (f_inst > 0), f_inst, freqs_np[0])
-    k_idx = jnp.round((jnp.log(safe_f) - log_f[0]) / dlf).astype(jnp.int32)
-    if out_of_range == "clip":
-        k_idx = jnp.clip(k_idx, 0, n_bins - 1)
-        k_idx = jnp.where(keep, k_idx, n_bins)
-    else:
-        k_idx = jnp.where(keep & (k_idx >= 0) & (k_idx < n_bins), k_idx, n_bins)
-
-    b_idx = jnp.broadcast_to(jnp.arange(n), (n_scales, n))
-
-    def _reassign_one(c, k):
-        return jnp.zeros((n_bins, n), c.dtype).at[k, b_idx].add(c, mode="drop")
-
-    fn = _reassign_one
-    for _ in range(W.ndim - 2):
-        fn = jax.vmap(fn)
-    tx = fn(contrib, k_idx)
+    wgt = scales_np ** -0.5 * _log_measure(scales_np)
+    tx = _squeeze_plane(W, dW, wgt, freqs_np, gamma_abs, out_of_range)
 
     time_axis = jnp.arange(n) / fs
     return SSQResult(tx, jnp.asarray(freqs_np), jnp.asarray(scales_np), time_axis, fs, wav.name)

@@ -63,6 +63,34 @@ def test_cwt_scale_sharded_uneven_raises(mesh):
         cwt_scale_sharded(jnp.zeros(64), [1.0, 2.0, 3.0], "morlet", mesh)
 
 
+def test_ssq_scale_sharded_matches_single(mesh):
+    from jwave_tpu.parallel import ssq_scale_sharded
+
+    fs, n = 100.0, 512
+    t = np.arange(n) / fs
+    sig = jnp.asarray(np.cos(2 * np.pi * 12.0 * t) + 0.5 * np.cos(2 * np.pi * 30.0 * t))
+    scales = jw.generate_log_scales(0.02, 0.5, 32)  # 32 scales over 8 devices
+    res_s = ssq_scale_sharded(sig, scales, "morlet", mesh, fs)
+    res_1 = jw.ssq_cwt(sig, scales, "morlet", fs)
+    np.testing.assert_allclose(np.asarray(res_s.frequencies), np.asarray(res_1.frequencies))
+    np.testing.assert_allclose(np.asarray(res_s.Tx), np.asarray(res_1.Tx), atol=1e-10)
+    # batched signals, explicit bins, drop mode
+    sigs = jnp.stack([sig, sig[::-1]])
+    res_s = ssq_scale_sharded(sigs, scales, "morlet", mesh, fs,
+                              frequencies=24, out_of_range="drop")
+    res_1 = jw.ssq_cwt(sigs, scales, "morlet", fs, frequencies=24, out_of_range="drop")
+    np.testing.assert_allclose(np.asarray(res_s.Tx), np.asarray(res_1.Tx), atol=1e-10)
+
+
+def test_ssq_scale_sharded_guards(mesh):
+    from jwave_tpu.parallel import ssq_scale_sharded
+
+    with pytest.raises(jw.JWaveFailure):
+        ssq_scale_sharded(jnp.zeros(64), [1.0, 2.0, 3.0], "morlet", mesh)
+    with pytest.raises(jw.JWaveFailure):
+        ssq_scale_sharded(jnp.zeros(64), np.linspace(1, 8, 8), "mexican hat", mesh)
+
+
 def test_fwt2d_sharded_matches_single(mesh, rng):
     mat = rng.standard_normal((64, 128))
     got = np.asarray(fwt2d_sharded(jnp.asarray(mat), "db2", mesh))
