@@ -100,6 +100,9 @@ from .transforms import (
     modwt,
     modwt_mra,
     modwt_variance,
+    modwt_variance_ci,
+    modwt_covariance,
+    modwt_correlation,
     modwt_1d,
     modwt_2d,
     shifting_forward,
@@ -128,7 +131,8 @@ __all__ = [
     "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose", "fwt_split", "fwt_merge",
     "wpt", "iwpt", "BestBasis", "best_basis", "best_basis_reconstruct",
     "modwt", "imodwt", "modwt_1d", "imodwt_1d", "modwt_2d", "imodwt_2d",
-    "modwt_mra", "modwt_variance",
+    "modwt_mra", "modwt_variance", "modwt_variance_ci",
+    "modwt_covariance", "modwt_correlation",
     "ConvolutionMethod", "cwt", "cwt_chunked", "cwt_direct", "icwt", "xwt",
     "wavelet_coherence", "CWTResult", "PaddingType",
     "ssq_cwt", "issq_cwt", "SSQResult",

@@ -433,6 +433,29 @@ def modwt_mra(x, wavelet, level: int, **kw):
     return imodwt(isolated, wavelet, **kw)  # (..., J+1, N)
 
 
+def _detail_moments(cx, cy, wavelet, level: int, unbiased: bool, name: str):
+    """Per-level second moments E[W_jx * W_jy] of two coefficient stacks
+    (..., J+1, N), dropping the L_j - 1 circular-boundary coefficients when
+    ``unbiased`` (L_j = (M-1)(2^j - 1) + 1, the level-j filter support).
+    Shared core of the variance/covariance estimators."""
+    n = cx.shape[-1]
+    m = get_filter(wavelet).length
+    dx = cx[..., :level, :]
+    dy = cy[..., :level, :]
+    if not unbiased:
+        return jnp.mean(dx * dy, axis=-1)
+    out = []
+    for j in range(1, level + 1):
+        l_j = (m - 1) * ((1 << j) - 1) + 1
+        if n - (l_j - 1) <= 0:
+            raise JWaveFailure(
+                f"{name} - unbiased estimator needs N > L_j - 1 = {l_j - 1} "
+                f"at level {j} (N = {n}); pass unbiased=False"
+            )
+        out.append(jnp.mean(dx[..., j - 1, l_j - 1:] * dy[..., j - 1, l_j - 1:], axis=-1))
+    return jnp.stack(out, axis=-1)
+
+
 def modwt_variance(x, wavelet, level: int, unbiased: bool = True, **kw):
     """Wavelet variance per level: nu_j^2 = E[W_j^2] (Percival & Walden ch. 8).
 
@@ -442,22 +465,69 @@ def modwt_variance(x, wavelet, level: int, unbiased: bool = True, **kw):
     estimator. Returns (..., J) detail-level variances (the V_J row is
     excluded, as in wmtsa). Requires N > L_J - 1 for the unbiased form.
     """
-    from ..filters import get_filter
-
     coeffs = modwt(x, wavelet, level, **kw)  # (..., J+1, N)
-    n = coeffs.shape[-1]
+    return _detail_moments(coeffs, coeffs, wavelet, level, unbiased, "modwt_variance")
+
+
+def modwt_variance_ci(x, wavelet, level: int, confidence: float = 0.95,
+                      unbiased: bool = True, **kw):
+    """Wavelet variance with chi-squared confidence intervals.
+
+    Returns ``(var, lo, hi)``, each (..., J). Uses the Percival & Walden
+    "EDOF 3" equivalent degrees of freedom eta_j = max(M_j / 2^j, 1) with
+    M_j the interior coefficient count (N - L_j + 1 when unbiased, N
+    otherwise), and the interval
+    ``[eta v / Q_eta((1+c)/2), eta v / Q_eta((1-c)/2)]`` (eq. 313).
+    """
+    from scipy.stats import chi2
+
+    if not 0.0 < confidence < 1.0:
+        raise JWaveFailure(
+            f"modwt_variance_ci - confidence must be in (0, 1), got {confidence}"
+        )
+    var = modwt_variance(x, wavelet, level, unbiased=unbiased, **kw)
+    n = x.shape[-1]
     m = get_filter(wavelet).length
-    details = coeffs[..., :level, :]
-    if not unbiased:
-        return jnp.mean(details * details, axis=-1)
-    out = []
+    eta, q_hi, q_lo = [], [], []
     for j in range(1, level + 1):
         l_j = (m - 1) * ((1 << j) - 1) + 1
-        if n - (l_j - 1) <= 0:
-            raise JWaveFailure(
-                f"modwt_variance - unbiased estimator needs N > L_j - 1 = {l_j - 1} "
-                f"at level {j} (N = {n}); pass unbiased=False"
-            )
-        w = details[..., j - 1, l_j - 1:]
-        out.append(jnp.mean(w * w, axis=-1))
-    return jnp.stack(out, axis=-1)
+        m_j = (n - l_j + 1) if unbiased else n
+        e = max(m_j / float(1 << j), 1.0)
+        eta.append(e)
+        q_hi.append(chi2.ppf((1.0 + confidence) / 2.0, e))
+        q_lo.append(chi2.ppf((1.0 - confidence) / 2.0, e))
+    eta = jnp.asarray(np.array(eta), var.dtype)
+    lo = eta * var / jnp.asarray(np.array(q_hi), var.dtype)
+    hi = eta * var / jnp.asarray(np.array(q_lo), var.dtype)
+    return var, lo, hi
+
+
+def modwt_covariance(x, y, wavelet, level: int, unbiased: bool = True, **kw):
+    """Wavelet covariance per level: nu_jxy = E[W_jx * W_jy] (Percival &
+    Walden ch. 8.6 / Whitcher-Guttorp-Percival 2000) — the scale-by-scale
+    decomposition of Cov(x, y). Same boundary handling as
+    :func:`modwt_variance`; returns (..., J)."""
+    if x.shape[-1] != y.shape[-1]:
+        raise JWaveFailure(
+            f"modwt_covariance - signals must share their last-axis length "
+            f"(got {x.shape[-1]} and {y.shape[-1]})"
+        )
+    cx = modwt(x, wavelet, level, **kw)
+    cy = modwt(y, wavelet, level, **kw)
+    return _detail_moments(cx, cy, wavelet, level, unbiased, "modwt_covariance")
+
+
+def modwt_correlation(x, y, wavelet, level: int, unbiased: bool = True, **kw):
+    """Wavelet correlation per level: nu_jxy / (nu_jx * nu_jy) in [-1, 1] —
+    the scale-by-scale correlation spectrum of two signals. Returns (..., J)."""
+    if x.shape[-1] != y.shape[-1]:
+        raise JWaveFailure(
+            f"modwt_correlation - signals must share their last-axis length "
+            f"(got {x.shape[-1]} and {y.shape[-1]})"
+        )
+    cx = modwt(x, wavelet, level, **kw)
+    cy = modwt(y, wavelet, level, **kw)
+    cov = _detail_moments(cx, cy, wavelet, level, unbiased, "modwt_correlation")
+    vx = _detail_moments(cx, cx, wavelet, level, unbiased, "modwt_correlation")
+    vy = _detail_moments(cy, cy, wavelet, level, unbiased, "modwt_correlation")
+    return jnp.clip(cov / jnp.sqrt(vx * vy), -1.0, 1.0)

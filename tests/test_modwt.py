@@ -213,6 +213,40 @@ class TestMRAandVariance:
         expect = np.array([sig**2 / 2**j for j in range(1, 5)])
         np.testing.assert_allclose(v, expect, rtol=0.08)
 
+    def test_variance_ci_brackets_white_noise_theory(self, rng):
+        sig = 2.0
+        x = jnp.asarray(sig * rng.standard_normal(2**15))
+        var, lo, hi = jw.modwt_variance_ci(x, "db4", 4, confidence=0.99)
+        expect = np.array([sig**2 / 2**j for j in range(1, 5)])
+        assert np.all(np.asarray(lo) < np.asarray(var))
+        assert np.all(np.asarray(var) < np.asarray(hi))
+        assert np.all(np.asarray(lo) < expect) and np.all(expect < np.asarray(hi))
+        # deeper levels have fewer equivalent degrees of freedom -> wider CI
+        rel_width = (np.asarray(hi) - np.asarray(lo)) / np.asarray(var)
+        assert np.all(np.diff(rel_width) > 0)
+        with pytest.raises(jw.JWaveFailure):
+            jw.modwt_variance_ci(x, "db4", 4, confidence=1.5)
+
+    def test_covariance_and_correlation(self, rng):
+        n = 8192
+        x = jnp.asarray(rng.standard_normal(n))
+        z = jnp.asarray(rng.standard_normal(n))
+        # cov(x, x) == var(x); corr(x, x) == 1; corr(x, -x) == -1
+        np.testing.assert_allclose(
+            np.asarray(jw.modwt_covariance(x, x, "db2", 3)),
+            np.asarray(jw.modwt_variance(x, "db2", 3)), atol=1e-12,
+        )
+        np.testing.assert_allclose(np.asarray(jw.modwt_correlation(x, x, "db2", 3)), 1.0)
+        np.testing.assert_allclose(np.asarray(jw.modwt_correlation(x, -x, "db2", 3)), -1.0)
+        # independent noise decorrelates at every scale
+        assert np.abs(np.asarray(jw.modwt_correlation(x, z, "db2", 3))).max() < 0.1
+        # y = x + noise: correlated at every scale, strictly between 0 and 1
+        y = x + 0.5 * z
+        corr = np.asarray(jw.modwt_correlation(x, y, "db2", 3))
+        assert np.all((corr > 0.5) & (corr < 1.0))
+        with pytest.raises(jw.JWaveFailure):
+            jw.modwt_covariance(x, z[:100], "db2", 3)
+
     def test_variance_biased_vs_unbiased_and_guard(self, rng):
         x = jnp.asarray(rng.standard_normal((3, 300)))
         vb = jw.modwt_variance(x, "db2", 3, unbiased=False)
