@@ -204,6 +204,21 @@ def main():
     dtc = bench_op(cwt_mag, chirp, k=32)
     details["cwt_morlet_64scales_1M"] = {"ms": dtc * 1e3, "Mcoeff_per_s": round(64 * nc / dtc / 1e6, 1)}
 
+    # --- synchrosqueezed CWT (superset; CWT+derivative bank + dense reassign)
+    try:
+        xs8 = jax.device_put(jnp.asarray(rng.standard_normal((8, n)), dtype=jnp.float32))
+        ssq_scales = jw.generate_log_scales(1e-5, 1e-2, 64)
+
+        def ssq_sum(sig):
+            r = jw.ssq_cwt(sig, ssq_scales, jw.MorletWavelet(1.0, 1.0), sampling_rate=1e6)
+            return jnp.sum(jnp.real(r.Tx), axis=-2)
+
+        dts = bench_op(ssq_sum, xs8, k=16)
+        details["ssq_cwt_64scales_8x64K"] = {"ms": dts * 1e3,
+                                             "Mcoeff_per_s": round(8 * 64 * n / dts / 1e6, 1)}
+    except Exception as e:  # superset line — record, don't kill the bench
+        details["ssq_cwt_64scales_8x64K"] = {"error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps({
         "metric": "MODWT-db4-L5 throughput per chip",
         "value": round(modwt_msps, 2),

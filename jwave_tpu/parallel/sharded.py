@@ -202,6 +202,7 @@ def ssq_scale_sharded(
     frequencies=None,
     gamma: float | None = None,
     out_of_range: str = "clip",
+    reassign: str = "auto",
     axis_name: str | None = None,
 ):
     """Synchrosqueezed CWT with the scales axis sharded over the mesh.
@@ -258,7 +259,7 @@ def ssq_scale_sharded(
                 gamma_abs = 10.0 * jnp.sqrt(eps) * jnp.sqrt(gmax)
             else:
                 gamma_abs = jnp.asarray(gamma, dtype=W.real.dtype)
-            tx_loc = _squeeze_plane(W, dW, wgt_loc, freqs_np, gamma_abs, out_of_range)
+            tx_loc = _squeeze_plane(W, dW, wgt_loc, freqs_np, gamma_abs, out_of_range, reassign)
             return lax.psum(tx_loc, axis_name)
 
         mapped = shard_map(
@@ -276,7 +277,7 @@ def ssq_scale_sharded(
 
     run = _get_or_build(
         ("ssq_scale", mesh, axis_name, _wav_key(wav), n, lead, fs, padding,
-         freqs_np.tobytes(), gamma, out_of_range), _build
+         freqs_np.tobytes(), gamma, out_of_range, reassign), _build
     )
     tx = run(jnp.asarray(signal), jnp.asarray(scales_np), jnp.asarray(wgt_np))
     time_axis = jnp.arange(n) / fs

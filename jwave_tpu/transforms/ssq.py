@@ -118,13 +118,20 @@ def _prepare_bins(freqs_np: np.ndarray):
     return log_f[0], (log_f[-1] - log_f[0]) / (freqs_np.shape[0] - 1)
 
 
-def _squeeze_plane(W, dW, wgt, freqs_np: np.ndarray, gamma_abs, out_of_range: str):
+def _squeeze_plane(W, dW, wgt, freqs_np: np.ndarray, gamma_abs, out_of_range: str,
+                   reassign: str = "auto"):
     """Phase transform + weighted reassignment of a (…, S, N) coefficient
     block into the (…, K, N) bin grid. ``wgt`` is the per-scale measure
     ``a^{-1/2} dln(a)`` (shape (S,)); ``gamma_abs`` the absolute |W|
     threshold (broadcastable). Shared by the single-device and the
     scale-sharded paths — a sharded caller squeezes its local scale block
     with the full grid and psums the planes.
+
+    ``reassign``: "scatter" (one scatter-add; fast on CPU), "dense" (masked
+    compare-and-reduce over the bin axis; the TPU path — data-dependent
+    scatters serialize on the TPU and measured 310x slower than the fused
+    dense reduction at the bench shape), or "auto" (dense on accelerators,
+    scatter on CPU).
     """
     n_scales, n = W.shape[-2:]
     n_bins = freqs_np.shape[0]
@@ -148,15 +155,36 @@ def _squeeze_plane(W, dW, wgt, freqs_np: np.ndarray, gamma_abs, out_of_range: st
     else:
         k_idx = jnp.where(keep & (k_idx >= 0) & (k_idx < n_bins), k_idx, n_bins)
 
+    if reassign == "auto":
+        reassign = "scatter" if jax.default_backend() == "cpu" else "dense"
+    if reassign == "dense":
+        # one fused compare-select-reduce per bin row: no data-dependent
+        # addressing anywhere, so XLA tiles it onto the VPU (8.6 ms vs the
+        # scatter's 2.7 s at 8x64x65536 on a v5e)
+        ar = jnp.arange(n_bins, dtype=k_idx.dtype)[:, None, None]  # (K, 1, 1)
+        mask = k_idx[..., None, :, :] == ar  # (..., K, S, N), fused
+        re = jnp.sum(jnp.where(mask, jnp.real(contrib)[..., None, :, :], 0), axis=-2)
+        im = jnp.sum(jnp.where(mask, jnp.imag(contrib)[..., None, :, :], 0), axis=-2)
+        return jax.lax.complex(re, im)
+    if reassign != "scatter":
+        raise JWaveFailure(
+            f"ssq_cwt - reassign must be 'auto', 'dense' or 'scatter', got {reassign!r}"
+        )
+
     b_idx = jnp.broadcast_to(jnp.arange(n), (n_scales, n))
 
     def _reassign_one(c, k):
         return jnp.zeros((n_bins, n), c.dtype).at[k, b_idx].add(c, mode="drop")
 
+    # complex scatter-add is UNIMPLEMENTED on some TPU backends — reassign
+    # the real/imag planes as one extra vmapped REAL scatter (same math)
     fn = _reassign_one
-    for _ in range(W.ndim - 2):
+    for _ in range(W.ndim - 1):  # leading batch dims + the (re, im) axis
         fn = jax.vmap(fn)
-    return fn(contrib, k_idx)
+    parts = jnp.stack([jnp.real(contrib), jnp.imag(contrib)], axis=-3)
+    k2 = jnp.broadcast_to(k_idx[..., None, :, :], parts.shape).astype(k_idx.dtype)
+    tx2 = fn(parts, k2)  # (..., 2, K, N)
+    return jax.lax.complex(tx2[..., 0, :, :], tx2[..., 1, :, :])
 
 
 def _default_bins(scales_np: np.ndarray, fc: float, frequencies) -> np.ndarray:
@@ -181,6 +209,7 @@ def ssq_cwt(
     frequencies=None,
     gamma: float | None = None,
     out_of_range: str = "clip",
+    reassign: str = "auto",
 ) -> SSQResult:
     """Synchrosqueezed CWT of a real signal.
 
@@ -204,6 +233,9 @@ def ssq_cwt(
         off the grid or negative, and dropping that mass costs ~1%
         reconstruction error on two-tone signals. "drop" discards it for a
         cleaner display.
+      reassign: reassignment kernel — "auto" (default; dense masked
+        reduction on accelerators, scatter-add on CPU), "dense", or
+        "scatter". See :func:`_squeeze_plane`.
 
     Returns an :class:`SSQResult`; ``sum_k Tx[k, b]`` over bins equals the
     weighted scale sum ``sum_j W(a_j, b) a_j^{-1/2} dln(a_j)`` of the kept
@@ -246,7 +278,7 @@ def ssq_cwt(
         gamma_abs = jnp.asarray(gamma, dtype=W.real.dtype)
 
     wgt = scales_np ** -0.5 * _log_measure(scales_np)
-    tx = _squeeze_plane(W, dW, wgt, freqs_np, gamma_abs, out_of_range)
+    tx = _squeeze_plane(W, dW, wgt, freqs_np, gamma_abs, out_of_range, reassign)
 
     time_axis = jnp.arange(n) / fs
     return SSQResult(tx, jnp.asarray(freqs_np), jnp.asarray(scales_np), time_axis, fs, wav.name)

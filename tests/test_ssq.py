@@ -75,6 +75,16 @@ class TestSSQForward:
         jitted = jax.jit(lambda s: jw.ssq_cwt(s, SCALES, wav, FS).Tx)(x)
         np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager), atol=1e-10)
 
+    def test_dense_reassign_matches_scatter(self):
+        # the accelerator path (masked compare-and-reduce) must agree with
+        # the CPU scatter-add exactly up to summation order
+        x = jnp.asarray(tone(50.0, n=2048) + 0.6 * tone(180.0, n=2048))
+        a = jw.ssq_cwt(x, SCALES, "morlet", FS, reassign="scatter")
+        b = jw.ssq_cwt(x, SCALES, "morlet", FS, reassign="dense")
+        np.testing.assert_allclose(np.asarray(a.Tx), np.asarray(b.Tx), atol=1e-12)
+        with pytest.raises(jw.JWaveFailure):
+            jw.ssq_cwt(x, SCALES, "morlet", FS, reassign="sorted")
+
     def test_frequency_grid_options(self):
         x = jnp.asarray(tone(50.0, n=1024))
         assert jw.ssq_cwt(x, SCALES, "morlet", FS, frequencies=32).n_freqs == 32
