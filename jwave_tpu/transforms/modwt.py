@@ -203,12 +203,31 @@ def modwt(
     level: int,
     method: ConvolutionMethod = ConvolutionMethod.AUTO,
     fft_threshold: int = DEFAULT_FFT_THRESHOLD,
+    boundary: str = "periodic",
+    truncate: bool = True,
 ):
     """Forward MODWT along the last axis (arbitrary length), batched.
 
     Returns (..., level+1, N): rows [W_1, ..., W_J, V_J]
     (MODWTTransform.java:256-306).
+
+    ``boundary``: "periodic" (circular, the reference's convention) or
+    "reflection" (wmtsa's alternative: the signal is extended to
+    ``[x, reverse(x)]``, removing wrap artifacts where the two signal ends
+    differ). With reflection, ``truncate=True`` (default) returns the first
+    N coefficient columns for analysis; ``truncate=False`` returns all 2N
+    columns, which :func:`imodwt` inverts exactly (take the first N samples
+    of its output). Truncated reflection coefficients are not invertible.
     """
+    if boundary == "reflection":
+        x = ensure_float(jnp.asarray(x))
+        ext = jnp.concatenate([x, jnp.flip(x, axis=-1)], axis=-1)
+        c = modwt(ext, wavelet, level, method, fft_threshold)
+        return c[..., : x.shape[-1]] if truncate else c
+    if boundary != "periodic":
+        raise JWaveFailure(
+            f"modwt - boundary must be 'periodic' or 'reflection', got {boundary!r}"
+        )
     x = ensure_float(jnp.asarray(x))
     n = x.shape[-1]
     if n == 0:
@@ -415,7 +434,7 @@ def imodwt_2d(coeffs, wavelet, **kw):
     return imodwt(c, wavelet, **kw)  # (..., R, C)
 
 
-def modwt_mra(x, wavelet, level: int, **kw):
+def modwt_mra(x, wavelet, level: int, boundary: str = "periodic", **kw):
     """MODWT multiresolution analysis: additive detail/smooth decomposition.
 
     Returns (..., J+1, N): rows [D_1 .. D_J, S_J] with ``sum(rows) == x``
@@ -423,14 +442,17 @@ def modwt_mra(x, wavelet, level: int, **kw):
     inverse is linear, so the rows partition the signal). The classic
     wmtsa/PyWavelets ``mra`` companion the reference lacks — and because the
     band isolation is a diagonal mask, all J+1 inverses run as ONE batched
-    inverse on the subband axis (MXU path on TPU).
+    inverse on the subband axis (MXU path on TPU). ``boundary="reflection"``
+    runs the analysis on the reflected extension and truncates the
+    components back to N — still exactly additive, without wrap artifacts.
     """
-    coeffs = modwt(x, wavelet, level, **kw)  # (..., J+1, N)
+    n = x.shape[-1]
+    coeffs = modwt(x, wavelet, level, boundary=boundary, truncate=False, **kw)
     rows = level + 1
     eye = jnp.eye(rows, dtype=coeffs.dtype)  # (rows, rows)
     # (..., band b, J+1, N): subband j kept only where j == b
     isolated = eye[:, :, None] * coeffs[..., None, :, :]
-    return imodwt(isolated, wavelet, **kw)  # (..., J+1, N)
+    return imodwt(isolated, wavelet, **kw)[..., :n]  # (..., J+1, N)
 
 
 def _detail_moments(cx, cy, wavelet, level: int, unbiased: bool, name: str):

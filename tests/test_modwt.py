@@ -213,6 +213,30 @@ class TestMRAandVariance:
         expect = np.array([sig**2 / 2**j for j in range(1, 5)])
         np.testing.assert_allclose(v, expect, rtol=0.08)
 
+    def test_reflection_boundary(self, rng):
+        # a ramp has a big jump under circular wrap; reflection removes it
+        n = 256
+        ramp = jnp.asarray(np.linspace(0.0, 10.0, n))
+        per = np.asarray(jw.modwt(ramp, "db4", 3))
+        ref = np.asarray(jw.modwt(ramp, "db4", 3, boundary="reflection"))
+        assert ref.shape == per.shape == (4, n)
+        # the filters look backward (x[n - m]), so the circular wrap hits the
+        # FIRST L_j - 1 coefficients; reflection leaves only the ramp's slope
+        assert np.abs(ref[0, :4]).max() < 0.1 * np.abs(per[0, :4]).max()
+        # interior coefficients agree (boundary only affects the edges)
+        np.testing.assert_allclose(ref[:, 64:192], per[:, 64:192], atol=1e-10)
+        # full (2N) reflection transform inverts exactly
+        full = jw.modwt(ramp, "db4", 3, boundary="reflection", truncate=False)
+        assert full.shape == (4, 2 * n)
+        np.testing.assert_allclose(
+            np.asarray(jw.imodwt(full, "db4"))[:n], np.asarray(ramp), atol=1e-11
+        )
+        # MRA stays exactly additive under reflection
+        mra = np.asarray(jw.modwt_mra(ramp, "db4", 3, boundary="reflection"))
+        np.testing.assert_allclose(mra.sum(axis=0), np.asarray(ramp), atol=1e-10)
+        with pytest.raises(jw.JWaveFailure):
+            jw.modwt(ramp, "db4", 3, boundary="mirror")
+
     def test_variance_ci_brackets_white_noise_theory(self, rng):
         sig = 2.0
         x = jnp.asarray(sig * rng.standard_normal(2**15))
