@@ -221,6 +221,10 @@ def modwt(
     """
     if boundary == "reflection":
         x = ensure_float(jnp.asarray(x))
+        if x.shape[-1] > 0:
+            # validate against the USER's length, not the 2N extension — the
+            # theoretical level limit must not loosen because of the mirror
+            _validate_level(x.shape[-1], level, "modwt")
         ext = jnp.concatenate([x, jnp.flip(x, axis=-1)], axis=-1)
         c = modwt(ext, wavelet, level, method, fft_threshold)
         return c[..., : x.shape[-1]] if truncate else c
@@ -446,6 +450,13 @@ def modwt_mra(x, wavelet, level: int, boundary: str = "periodic", **kw):
     runs the analysis on the reflected extension and truncates the
     components back to N — still exactly additive, without wrap artifacts.
     """
+    if "truncate" in kw:
+        raise JWaveFailure(
+            "modwt_mra - truncation is managed internally (the full "
+            "coefficient stack is needed for exact additivity); do not pass "
+            "'truncate'"
+        )
+    x = ensure_float(jnp.asarray(x))
     n = x.shape[-1]
     coeffs = modwt(x, wavelet, level, boundary=boundary, truncate=False, **kw)
     rows = level + 1
@@ -478,6 +489,17 @@ def _detail_moments(cx, cy, wavelet, level: int, unbiased: bool, name: str):
     return jnp.stack(out, axis=-1)
 
 
+def _reject_truncate(kw, who: str):
+    """The scale statistics assume one coefficient column per input sample;
+    a 2N reflected stack (truncate=False) would silently double-count the
+    mirrored half and misalign the unbiased boundary drop."""
+    if "truncate" in kw:
+        raise JWaveFailure(
+            f"{who} - 'truncate' is not accepted here; the estimators operate "
+            f"on the length-N coefficient columns"
+        )
+
+
 def modwt_variance(x, wavelet, level: int, unbiased: bool = True, **kw):
     """Wavelet variance per level: nu_j^2 = E[W_j^2] (Percival & Walden ch. 8).
 
@@ -487,6 +509,7 @@ def modwt_variance(x, wavelet, level: int, unbiased: bool = True, **kw):
     estimator. Returns (..., J) detail-level variances (the V_J row is
     excluded, as in wmtsa). Requires N > L_J - 1 for the unbiased form.
     """
+    _reject_truncate(kw, "modwt_variance")
     coeffs = modwt(x, wavelet, level, **kw)  # (..., J+1, N)
     return _detail_moments(coeffs, coeffs, wavelet, level, unbiased, "modwt_variance")
 
@@ -534,6 +557,7 @@ def modwt_covariance(x, y, wavelet, level: int, unbiased: bool = True, **kw):
             f"modwt_covariance - signals must share their last-axis length "
             f"(got {x.shape[-1]} and {y.shape[-1]})"
         )
+    _reject_truncate(kw, "modwt_covariance")
     cx = modwt(x, wavelet, level, **kw)
     cy = modwt(y, wavelet, level, **kw)
     return _detail_moments(cx, cy, wavelet, level, unbiased, "modwt_covariance")
@@ -547,6 +571,7 @@ def modwt_correlation(x, y, wavelet, level: int, unbiased: bool = True, **kw):
             f"modwt_correlation - signals must share their last-axis length "
             f"(got {x.shape[-1]} and {y.shape[-1]})"
         )
+    _reject_truncate(kw, "modwt_correlation")
     cx = modwt(x, wavelet, level, **kw)
     cy = modwt(y, wavelet, level, **kw)
     cov = _detail_moments(cx, cy, wavelet, level, unbiased, "modwt_correlation")

@@ -237,6 +237,24 @@ class TestMRAandVariance:
         with pytest.raises(jw.JWaveFailure):
             jw.modwt(ramp, "db4", 3, boundary="mirror")
 
+    def test_review_regressions(self, rng):
+        # plain-sequence input to modwt_mra (no .shape before asarray)
+        mra = np.asarray(jw.modwt_mra([0.0, 1.0, 2.0, 3.0], "Haar", 1))
+        assert mra.shape == (2, 4)
+        x = jnp.asarray(rng.standard_normal(256))
+        # explicit truncate into mra / the statistics raises cleanly
+        with pytest.raises(jw.JWaveFailure):
+            jw.modwt_mra(x, "db4", 3, boundary="reflection", truncate=True)
+        with pytest.raises(jw.JWaveFailure):
+            jw.modwt_variance(x, "db4", 3, boundary="reflection", truncate=False)
+        with pytest.raises(jw.JWaveFailure):
+            jw.modwt_covariance(x, x, "db2", 3, truncate=False)
+        with pytest.raises(jw.JWaveFailure):
+            jw.modwt_correlation(x, x, "db2", 3, truncate=False)
+        # reflection validates the level against the USER's length, not 2N
+        with pytest.raises(jw.JWaveFailure, match="length 256"):
+            jw.modwt(x, "Haar", 9, boundary="reflection")
+
     def test_variance_ci_brackets_white_noise_theory(self, rng):
         sig = 2.0
         x = jnp.asarray(sig * rng.standard_normal(2**15))
