@@ -21,9 +21,13 @@ class MorletWavelet(ContinuousWavelet):
         self.fc = float(fc)
         self.name = "Morlet"
         self.center_frequency = fc
-        # Gaussian psi_hat centered at fc: negative-frequency tail is
-        # exp(-2 pi^2 fb fc^2) (~3e-9 at the defaults) — analytic in practice
-        self.is_analytic = True
+        # Gaussian psi_hat centered at fc: the negative-frequency tail is
+        # exp(-2 pi^2 fb fc^2) (~3e-9 at the defaults) — analytic in
+        # practice only while that tail is negligible. Small fb*fc^2 (e.g.
+        # fc=0.3: tail ~0.17) leaks negative frequencies and corrupts
+        # synchrosqueezing's instantaneous-frequency estimate, so the flag
+        # tracks the actual tail amplitude.
+        self.is_analytic = math.exp(-2.0 * math.pi**2 * fb * fc * fc) < 1e-3
 
     def psi(self, t):
         t = jnp.asarray(t)

@@ -530,6 +530,7 @@ def modwt_variance_ci(x, wavelet, level: int, confidence: float = 0.95,
         raise JWaveFailure(
             f"modwt_variance_ci - confidence must be in (0, 1), got {confidence}"
         )
+    x = ensure_float(jnp.asarray(x))
     var = modwt_variance(x, wavelet, level, unbiased=unbiased, **kw)
     n = x.shape[-1]
     m = get_filter(wavelet).length
@@ -552,6 +553,8 @@ def modwt_covariance(x, y, wavelet, level: int, unbiased: bool = True, **kw):
     Walden ch. 8.6 / Whitcher-Guttorp-Percival 2000) — the scale-by-scale
     decomposition of Cov(x, y). Same boundary handling as
     :func:`modwt_variance`; returns (..., J)."""
+    x = ensure_float(jnp.asarray(x))
+    y = ensure_float(jnp.asarray(y))
     if x.shape[-1] != y.shape[-1]:
         raise JWaveFailure(
             f"modwt_covariance - signals must share their last-axis length "
@@ -566,6 +569,8 @@ def modwt_covariance(x, y, wavelet, level: int, unbiased: bool = True, **kw):
 def modwt_correlation(x, y, wavelet, level: int, unbiased: bool = True, **kw):
     """Wavelet correlation per level: nu_jxy / (nu_jx * nu_jy) in [-1, 1] —
     the scale-by-scale correlation spectrum of two signals. Returns (..., J)."""
+    x = ensure_float(jnp.asarray(x))
+    y = ensure_float(jnp.asarray(y))
     if x.shape[-1] != y.shape[-1]:
         raise JWaveFailure(
             f"modwt_correlation - signals must share their last-axis length "

@@ -95,6 +95,9 @@ def _log_measure(scales: np.ndarray) -> np.ndarray:
     return np.abs(np.gradient(v))
 
 
+_ONE_INTEGRAL_CACHE: dict = {}
+
+
 def one_integral_constant(wavelet: ContinuousWavelet) -> complex:
     """``C = integral_0^inf conj(psi_hat(u))/u du`` evaluated numerically.
 
@@ -104,18 +107,55 @@ def one_integral_constant(wavelet: ContinuousWavelet) -> complex:
     ``w^m e^-w`` are numerically zero (Morlet's tiny psi_hat(0) > 0 makes the
     true integral log-divergent, but its contribution below the cutoff is
     ~1e-7 of C; see module docstring).
+
+    The integrand runs under ``jax.jit`` with real/imag fetched separately:
+    some TPU backends implement neither eager complex ops nor complex
+    device->host transfers. Cached per wavelet configuration (the jit would
+    otherwise recompile on every inverse call).
     """
+    key = (type(wavelet).__name__,
+           tuple(sorted((k, v) for k, v in vars(wavelet).items()
+                        if isinstance(v, (bool, int, float, str)))))
+    hit = _ONE_INTEGRAL_CACHE.get(key)
+    if hit is not None:
+        return hit
     w_peak = 2.0 * math.pi * max(wavelet.center_frequency, 1e-3)
     v = np.linspace(math.log(w_peak * 1e-4), math.log(w_peak * 50.0), 4096)
-    vals = np.conj(np.asarray(wavelet.psi_hat(jnp.asarray(np.exp(v)))))
+
+    @jax.jit
+    def _integrand(u):
+        vals = jnp.conj(wavelet.psi_hat(u))
+        return jnp.real(vals), jnp.imag(vals)
+
+    re, im = _integrand(jnp.asarray(np.exp(v)))
+    vals = np.asarray(re) + 1j * np.asarray(im)
     trapezoid = getattr(np, "trapezoid", np.trapz)
-    return complex(trapezoid(vals, v))
+    c = complex(trapezoid(vals, v))
+    _ONE_INTEGRAL_CACHE[key] = c
+    return c
 
 
-def _prepare_bins(freqs_np: np.ndarray):
-    """(log f0, d log f) of the bin grid for index mapping."""
+def _bin_index(f_inst, freqs_np: np.ndarray):
+    """Nearest-bin index (in log-frequency distance) for positive ``f_inst``.
+
+    Log-uniform grids (the default) use the closed-form affine map; arbitrary
+    increasing grids fall back to a searchsorted against the geometric
+    midpoints between neighboring bins — both are exact nearest-in-log.
+    Caller is responsible for masking non-positive frequencies first.
+    """
     log_f = np.log(freqs_np)
-    return log_f[0], (log_f[-1] - log_f[0]) / (freqs_np.shape[0] - 1)
+    diffs = np.diff(log_f)
+    if np.allclose(diffs, diffs[0], rtol=1e-9, atol=0.0):
+        dlf = (log_f[-1] - log_f[0]) / (freqs_np.shape[0] - 1)
+        return jnp.round((jnp.log(f_inst) - log_f[0]) / dlf).astype(jnp.int32)
+    # K+1 edges (outer edges extrapolate the end spacings) so indices keep
+    # the affine path's out-of-range convention: -1 below the grid, K above
+    edges = np.exp(np.concatenate([
+        [log_f[0] - diffs[0] / 2.0],
+        (log_f[:-1] + log_f[1:]) / 2.0,
+        [log_f[-1] + diffs[-1] / 2.0],
+    ]))
+    return (jnp.searchsorted(jnp.asarray(edges), f_inst) - 1).astype(jnp.int32)
 
 
 def _squeeze_plane(W, dW, wgt, freqs_np: np.ndarray, gamma_abs, out_of_range: str,
@@ -135,7 +175,6 @@ def _squeeze_plane(W, dW, wgt, freqs_np: np.ndarray, gamma_abs, out_of_range: st
     """
     n_scales, n = W.shape[-2:]
     n_bins = freqs_np.shape[0]
-    log_f0, dlf = _prepare_bins(freqs_np)
 
     mag2 = jnp.real(W) ** 2 + jnp.imag(W) ** 2
     f_inst = jnp.imag(dW * jnp.conj(W)) / jnp.where(mag2 > 0, mag2, 1.0) / (2.0 * math.pi)
@@ -148,7 +187,7 @@ def _squeeze_plane(W, dW, wgt, freqs_np: np.ndarray, gamma_abs, out_of_range: st
 
     contrib = W * jnp.asarray(wgt, W.real.dtype)[:, None]
     safe_f = jnp.where(keep & (f_inst > 0), f_inst, freqs_np[0])
-    k_idx = jnp.round((jnp.log(safe_f) - log_f0) / dlf).astype(jnp.int32)
+    k_idx = _bin_index(safe_f, freqs_np)
     if out_of_range == "clip":
         k_idx = jnp.clip(k_idx, 0, n_bins - 1)
         k_idx = jnp.where(keep, k_idx, n_bins)
@@ -191,6 +230,8 @@ def _default_bins(scales_np: np.ndarray, fc: float, frequencies) -> np.ndarray:
     """Resolve the frequencies argument into an increasing Hz grid."""
     if frequencies is None or isinstance(frequencies, int):
         k = scales_np.shape[0] if frequencies is None else int(frequencies)
+        if k < 2:
+            raise JWaveFailure(f"ssq_cwt - need at least 2 frequency bins, got {k}")
         f_lo = fc / scales_np.max()
         f_hi = fc / scales_np.min()
         return np.exp(np.linspace(math.log(f_lo), math.log(f_hi), k))

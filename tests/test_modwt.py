@@ -238,9 +238,14 @@ class TestMRAandVariance:
             jw.modwt(ramp, "db4", 3, boundary="mirror")
 
     def test_review_regressions(self, rng):
-        # plain-sequence input to modwt_mra (no .shape before asarray)
+        # plain-sequence inputs (no .shape before asarray)
         mra = np.asarray(jw.modwt_mra([0.0, 1.0, 2.0, 3.0], "Haar", 1))
         assert mra.shape == (2, 4)
+        seq = list(np.linspace(0.0, 1.0, 64))
+        assert np.asarray(jw.modwt_covariance(seq, seq, "Haar", 2)).shape == (2,)
+        assert np.asarray(jw.modwt_correlation(seq, seq, "Haar", 2)).shape == (2,)
+        v, lo, hi = jw.modwt_variance_ci(seq, "Haar", 2)
+        assert np.asarray(v).shape == (2,)
         x = jnp.asarray(rng.standard_normal(256))
         # explicit truncate into mra / the statistics raises cleanly
         with pytest.raises(jw.JWaveFailure):

@@ -86,17 +86,27 @@ class TestSSQForward:
             jw.ssq_cwt(x, SCALES, "morlet", FS, reassign="sorted")
 
     def test_frequency_grid_options(self):
-        x = jnp.asarray(tone(50.0, n=1024))
+        x = jnp.asarray(tone(50.0, n=2048))
         assert jw.ssq_cwt(x, SCALES, "morlet", FS, frequencies=32).n_freqs == 32
+        # non-log (linear) explicit grid: the tone must land in ITS bin, not
+        # an affine-log mirage (regression: the index map assumed log grids)
         grid = np.linspace(10.0, 400.0, 64)
         res = jw.ssq_cwt(x, SCALES, "morlet", FS, frequencies=grid)
         np.testing.assert_allclose(np.asarray(res.frequencies), grid)
+        energy = np.asarray(jnp.abs(res.Tx) ** 2)[:, 512:1536].sum(axis=1)
+        assert abs(grid[int(energy.argmax())] - 50.0) < 7.0  # within one 6.2 Hz bin
         with pytest.raises(jw.JWaveFailure):
             jw.ssq_cwt(x, SCALES, "morlet", FS, frequencies=grid[::-1])
+        with pytest.raises(jw.JWaveFailure):
+            jw.ssq_cwt(x, SCALES, "morlet", FS, frequencies=1)
 
     def test_non_analytic_wavelet_raises(self):
         with pytest.raises(jw.JWaveFailure):
             jw.ssq_cwt(jnp.asarray(tone(50.0, n=512)), SCALES, jw.MexicanHatWavelet(), FS)
+        # a Morlet with a fat negative-frequency tail is not analytic either
+        with pytest.raises(jw.JWaveFailure):
+            jw.ssq_cwt(jnp.asarray(tone(50.0, n=512)), SCALES, jw.MorletWavelet(1.0, 0.3), FS)
+        assert jw.MorletWavelet(1.0, 1.0).is_analytic
         with pytest.raises(jw.JWaveFailure):
             jw.ssq_cwt(jnp.asarray(tone(50.0, n=512)), SCALES[:1], "morlet", FS)
 
