@@ -99,6 +99,7 @@ from .transforms import (
     iwpt,
     modwt,
     modwt_mra,
+    modwt_mra_2d,
     modwt_variance,
     modwt_variance_ci,
     modwt_covariance,
@@ -131,7 +132,7 @@ __all__ = [
     "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose", "fwt_split", "fwt_merge",
     "wpt", "iwpt", "BestBasis", "best_basis", "best_basis_reconstruct",
     "modwt", "imodwt", "modwt_1d", "imodwt_1d", "modwt_2d", "imodwt_2d",
-    "modwt_mra", "modwt_variance", "modwt_variance_ci",
+    "modwt_mra", "modwt_mra_2d", "modwt_variance", "modwt_variance_ci",
     "modwt_covariance", "modwt_correlation",
     "ConvolutionMethod", "cwt", "cwt_chunked", "cwt_direct", "icwt", "xwt",
     "wavelet_coherence", "CWTResult", "PaddingType",

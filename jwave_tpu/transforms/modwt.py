@@ -438,6 +438,39 @@ def imodwt_2d(coeffs, wavelet, **kw):
     return imodwt(c, wavelet, **kw)  # (..., R, C)
 
 
+def modwt_mra_2d(mat, wavelet, level: int, **kw):
+    """2D MODWT multiresolution analysis: additive subband-image components.
+
+    Returns (..., J+1, J+1, R, C): component (jr, jc) is the inverse 2D
+    MODWT of the isolated (jr, jc) subband, and the (J+1)^2 components sum
+    to the input image exactly (the 2D analog of :func:`modwt_mra`; wmtsa's
+    image MRA). All (J+1)^2 inverses run as one batched inverse over the
+    flattened band axis. ``boundary="reflection"`` analyzes the doubly
+    mirrored extension and truncates the components back to (R, C).
+    """
+    if "truncate" in kw:
+        raise JWaveFailure("modwt_mra_2d - 'truncate' is managed internally")
+    boundary = kw.pop("boundary", "periodic")
+    if boundary == "reflection":
+        mat = ensure_float(jnp.asarray(mat))
+        r, c = mat.shape[-2:]
+        ext = jnp.concatenate([mat, jnp.flip(mat, axis=-1)], axis=-1)
+        ext = jnp.concatenate([ext, jnp.flip(ext, axis=-2)], axis=-2)
+        return modwt_mra_2d(ext, wavelet, level, **kw)[..., :r, :c]
+    if boundary != "periodic":
+        raise JWaveFailure(
+            f"modwt_mra_2d - boundary must be 'periodic' or 'reflection', got {boundary!r}"
+        )
+    coeffs = modwt_2d(mat, wavelet, level, **kw)  # (..., J+1, J+1, R, C)
+    rows = level + 1
+    eye = jnp.eye(rows * rows, dtype=coeffs.dtype).reshape(
+        (rows * rows, rows, rows)
+    )  # band b isolated in the (jr, jc) grid
+    isolated = eye[:, :, :, None, None] * coeffs[..., None, :, :, :, :]
+    comp = imodwt_2d(isolated, wavelet, **kw)  # (..., J+1*J+1, R, C)
+    return comp.reshape(comp.shape[:-3] + (rows, rows) + comp.shape[-2:])
+
+
 def modwt_mra(x, wavelet, level: int, boundary: str = "periodic", **kw):
     """MODWT multiresolution analysis: additive detail/smooth decomposition.
 

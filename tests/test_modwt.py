@@ -237,6 +237,29 @@ class TestMRAandVariance:
         with pytest.raises(jw.JWaveFailure):
             jw.modwt(ramp, "db4", 3, boundary="mirror")
 
+    def test_mra_2d_additivity(self, rng):
+        img = jnp.asarray(rng.standard_normal((2, 32, 48)))
+        comp = jw.modwt_mra_2d(img, "db2", 2)
+        assert comp.shape == (2, 3, 3, 32, 48)
+        np.testing.assert_allclose(
+            np.asarray(comp.sum(axis=(-4, -3))), np.asarray(img), atol=1e-10
+        )
+        # each component is the inverse of the isolated (jr, jc) subband
+        coeffs = jw.modwt_2d(img, "db2", 2)
+        iso = jnp.zeros_like(coeffs).at[:, 1, 2].set(coeffs[:, 1, 2])
+        np.testing.assert_allclose(
+            np.asarray(comp[:, 1, 2]), np.asarray(jw.imodwt_2d(iso, "db2")), atol=1e-11
+        )
+        # reflection stays additive too
+        ref = jw.modwt_mra_2d(img, "db2", 2, boundary="reflection")
+        np.testing.assert_allclose(
+            np.asarray(ref.sum(axis=(-4, -3))), np.asarray(img), atol=1e-10
+        )
+        with pytest.raises(jw.JWaveFailure):
+            jw.modwt_mra_2d(img, "db2", 2, boundary="mirror")
+        with pytest.raises(jw.JWaveFailure):
+            jw.modwt_mra_2d(img, "db2", 2, truncate=False)
+
     def test_review_regressions(self, rng):
         # plain-sequence inputs (no .shape before asarray)
         mra = np.asarray(jw.modwt_mra([0.0, 1.0, 2.0, 3.0], "Haar", 1))
