@@ -8,9 +8,18 @@ subcommands the reference lacks.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
+
+# Honor JAX_PLATFORMS even under site customizations that pre-select a
+# backend before this process sees the env var (a dead remote backend would
+# otherwise hang the demo): apply it explicitly before first jax use.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def _demo(transform_name: str, wavelet_name: str) -> int:
