@@ -170,8 +170,9 @@ def _squeeze_plane(W, dW, wgt, freqs_np: np.ndarray, gamma_abs, out_of_range: st
     ``reassign``: "scatter" (one scatter-add; fast on CPU), "dense" (masked
     compare-and-reduce over the bin axis; the TPU path — data-dependent
     scatters serialize on the TPU and measured 310x slower than the fused
-    dense reduction at the bench shape), or "auto" (dense on accelerators,
-    scatter on CPU).
+    dense reduction at the bench shape), "pallas" (VMEM-tiled kernel,
+    ops/pallas_reassign.py — reads the contributions once instead of once
+    per bin row), or "auto" (dense on accelerators, scatter on CPU).
     """
     n_scales, n = W.shape[-2:]
     n_bins = freqs_np.shape[0]
@@ -196,6 +197,13 @@ def _squeeze_plane(W, dW, wgt, freqs_np: np.ndarray, gamma_abs, out_of_range: st
 
     if reassign == "auto":
         reassign = "scatter" if jax.default_backend() == "cpu" else "dense"
+    if reassign == "pallas":
+        # VMEM-tiled kernel: reads the contributions once instead of once
+        # per bin row (ops/pallas_reassign.py); opt-in pending hardware
+        # benchmarking against the dense XLA form
+        from ..ops.pallas_reassign import reassign_pallas
+
+        return reassign_pallas(contrib, k_idx, n_bins)
     if reassign == "dense":
         # one fused compare-select-reduce per bin row: no data-dependent
         # addressing anywhere, so XLA tiles it onto the VPU (8.6 ms vs the
@@ -207,7 +215,7 @@ def _squeeze_plane(W, dW, wgt, freqs_np: np.ndarray, gamma_abs, out_of_range: st
         return jax.lax.complex(re, im)
     if reassign != "scatter":
         raise JWaveFailure(
-            f"ssq_cwt - reassign must be 'auto', 'dense' or 'scatter', got {reassign!r}"
+            f"ssq_cwt - reassign must be 'auto', 'dense', 'scatter' or 'pallas', got {reassign!r}"
         )
 
     b_idx = jnp.broadcast_to(jnp.arange(n), (n_scales, n))

@@ -60,3 +60,39 @@ def test_pallas_modwt_non_pow2_lane_aligned(rng):
     got = np.asarray(pm.modwt_pallas(x, "db4", 3))
     want = np.asarray(jw.modwt(x, "db4", 3, method=jw.ConvolutionMethod.DIRECT))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# synchrosqueezing reassignment kernel (ops/pallas_reassign.py)
+# --------------------------------------------------------------------------
+
+def test_pallas_reassign_matches_scatter(rng):
+    from jwave_tpu.ops import pallas_reassign as pr
+
+    # patch this module's pallas_call too (the autouse fixture patches pl)
+    s, n, k_bins = 12, 300, 20  # deliberately unaligned: exercises padding
+    contrib = jnp.asarray(
+        rng.standard_normal((2, s, n)) + 1j * rng.standard_normal((2, s, n))
+    ).astype(jnp.complex64)
+    k_idx = jnp.asarray(rng.integers(0, k_bins + 1, (2, s, n)), dtype=jnp.int32)
+    got = np.asarray(pr.reassign_pallas(contrib, k_idx, k_bins))
+    want = np.zeros((2, k_bins, n), dtype=np.complex64)
+    kn = np.asarray(k_idx)
+    cn = np.asarray(contrib)
+    for b in range(2):
+        for si in range(s):
+            for t in range(n):
+                if kn[b, si, t] < k_bins:
+                    want[b, kn[b, si, t], t] += cn[b, si, t]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_reassign_in_ssq(rng):
+    import jwave_tpu as jw
+
+    fs, n = 1000.0, 512
+    x = jnp.asarray(np.cos(2 * np.pi * 50.0 * np.arange(n) / fs), dtype=jnp.float32)
+    scales = jw.generate_log_scales(0.002, 0.2, 32)
+    a = jw.ssq_cwt(x, scales, "morlet", fs, reassign="scatter")
+    b = jw.ssq_cwt(x, scales, "morlet", fs, reassign="pallas")
+    np.testing.assert_allclose(np.asarray(b.Tx), np.asarray(a.Tx), atol=1e-5)
