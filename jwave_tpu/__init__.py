@@ -113,6 +113,8 @@ from .transforms import (
     ssq_cwt,
     issq_cwt,
     SSQResult,
+    extract_ridge,
+    ridge_tube_mask,
     best_basis,
     best_basis_reconstruct,
     wpt,
@@ -136,7 +138,7 @@ __all__ = [
     "modwt_covariance", "modwt_correlation",
     "ConvolutionMethod", "cwt", "cwt_chunked", "cwt_direct", "icwt", "xwt",
     "wavelet_coherence", "CWTResult", "PaddingType",
-    "ssq_cwt", "issq_cwt", "SSQResult",
+    "ssq_cwt", "issq_cwt", "SSQResult", "extract_ridge", "ridge_tube_mask",
     "generate_log_scales", "generate_linear_scales",
     "fft", "ifft", "aed_forward", "aed_reverse",
     "shifting_forward", "shifting_reverse",

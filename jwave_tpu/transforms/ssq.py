@@ -28,6 +28,7 @@ when the wavelet suppresses negative frequencies.
 """
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 
@@ -333,7 +334,82 @@ def ssq_cwt(
     return SSQResult(tx, jnp.asarray(freqs_np), jnp.asarray(scales_np), time_axis, fs, wav.name)
 
 
-def issq_cwt(result: SSQResult, wavelet: ContinuousWavelet | str | None = None):
+def _ridge_dp_one(energy, penalty: float):
+    """Viterbi ridge on one (K, N) log-energy plane: the path k(t) maximizing
+    sum_t E[k(t), t] - penalty * (k(t) - k(t-1))^2. Returns (N,) int32.
+
+    Forward pass is a ``lax.scan`` over time carrying the (K,) running score
+    (the K x K transition candidates are one broadcast subtract — no
+    data-dependent control flow); backtracking is a second reversed scan
+    over the stored argmax pointers. jit/vmap/TPU friendly throughout.
+    """
+    k_bins = energy.shape[0]
+    ar = jnp.arange(k_bins)
+    pen = penalty * (ar[:, None] - ar[None, :]).astype(energy.dtype) ** 2  # (to, from)
+
+    def fwd(score, e_t):
+        cand = score[None, :] - pen  # (K_to, K_from)
+        best = jnp.argmax(cand, axis=1)
+        return e_t + jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0], best
+
+    score, ptrs = jax.lax.scan(fwd, energy[:, 0], energy[:, 1:].T)  # ptrs (N-1, K)
+    end = jnp.argmax(score)
+
+    def back(k, ptr_t):
+        k_prev = ptr_t[k]
+        return k_prev, k_prev
+
+    _, rest = jax.lax.scan(back, end, ptrs, reverse=True)
+    return jnp.concatenate([rest, end[None]]).astype(jnp.int32)
+
+
+def extract_ridge(result: SSQResult, n_ridges: int = 1, penalty: float = 2.0,
+                  tube_width: int = 2):
+    """Penalized multi-ridge extraction from the squeezed plane (Carmona et
+    al. 1999-style dynamic programming; no reference counterpart).
+
+    Returns ``(indices, frequencies)`` of shape (..., n_ridges, N): per
+    ridge, the frequency-bin path through ``|Tx|^2`` that maximizes energy
+    minus ``penalty * (bin step)^2`` smoothness cost. Ridges are peeled
+    greedily: after each extraction a ``tube_width``-bin tube around the
+    ridge is suppressed before the next pass. Use
+    :func:`ridge_tube_mask` + ``issq_cwt(..., band=mask)`` to reconstruct
+    the mode under a ridge.
+    """
+    if n_ridges < 1:
+        raise JWaveFailure(f"extract_ridge - n_ridges must be >= 1, got {n_ridges}")
+    tx = result.Tx
+    k_bins, n = tx.shape[-2:]
+    mag2 = jnp.real(tx) ** 2 + jnp.imag(tx) ** 2
+    tiny = jnp.finfo(mag2.dtype).tiny
+    energy = jnp.log(mag2 + tiny)
+
+    fn = functools.partial(_ridge_dp_one, penalty=penalty)
+    for _ in range(tx.ndim - 2):
+        fn = jax.vmap(fn)
+
+    ridges = []
+    floor = jnp.min(energy) - 1.0
+    for _ in range(n_ridges):
+        idx = fn(energy)  # (..., N)
+        ridges.append(idx)
+        dist = jnp.abs(jnp.arange(k_bins)[:, None] - idx[..., None, :])  # (..., K, N)
+        energy = jnp.where(dist <= tube_width, floor, energy)
+    indices = jnp.stack(ridges, axis=-2)  # (..., R, N)
+    return indices, result.frequencies[indices]
+
+
+def ridge_tube_mask(result: SSQResult, indices, tube_width: int = 2):
+    """Boolean (..., K, N) mask selecting a ``tube_width``-bin tube around a
+    ridge index path (..., N) — feed to ``issq_cwt(..., band=mask)`` to
+    reconstruct that mode alone."""
+    k_bins = result.Tx.shape[-2]
+    dist = jnp.abs(jnp.arange(k_bins)[:, None] - jnp.asarray(indices)[..., None, :])
+    return dist <= tube_width
+
+
+def issq_cwt(result: SSQResult, wavelet: ContinuousWavelet | str | None = None,
+             band=None):
     """Reconstruct the real signal from its synchrosqueezed transform:
     ``x(b) = 2 Re[ (1/C) sum_k Tx(f_k, b) ]`` (Daubechies-Lu-Wu eq. 2.5,
     discretized over the forward's log-scale measure).
@@ -342,6 +418,12 @@ def issq_cwt(result: SSQResult, wavelet: ContinuousWavelet | str | None = None):
     response around every signal frequency, and density controls how well
     ``sum_j psi_hat(a_j w) dln(a_j)`` approximates the constant C (32+
     scales per octave reconstructs to ~1e-3 relative).
+
+    ``band`` restricts the sum to part of the squeezed plane — the mode
+    extraction synchrosqueezing exists for: a ``(f_lo, f_hi)`` tuple in Hz
+    keeps only bins inside the band, or a boolean array broadcastable to
+    ``Tx``'s (..., K, N) selects per (bin, time) — e.g. a ridge tube from
+    :func:`extract_ridge`. None (default) reconstructs the full signal.
     """
     if wavelet is None:
         from .cwt import _resolve_wavelet_by_name
@@ -350,5 +432,19 @@ def issq_cwt(result: SSQResult, wavelet: ContinuousWavelet | str | None = None):
     else:
         wav = get_continuous_wavelet(wavelet)
     c = one_integral_constant(wav)
-    total = jnp.sum(result.Tx, axis=-2)
+    tx = result.Tx
+    if band is not None:
+        if isinstance(band, tuple) and len(band) == 2:
+            f_lo, f_hi = band
+            sel = (result.frequencies >= f_lo) & (result.frequencies <= f_hi)
+            if not bool(jnp.any(sel)):
+                raise JWaveFailure(
+                    f"issq_cwt - band ({f_lo}, {f_hi}) Hz contains no frequency "
+                    f"bins (grid spans {float(result.frequencies[0]):g}.."
+                    f"{float(result.frequencies[-1]):g} Hz)"
+                )
+            tx = tx * sel[:, None].astype(tx.real.dtype)
+        else:
+            tx = tx * jnp.asarray(band).astype(tx.real.dtype)
+    total = jnp.sum(tx, axis=-2)
     return 2.0 * jnp.real(total / jnp.asarray(c))

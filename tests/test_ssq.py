@@ -175,3 +175,64 @@ class TestSSQInverse:
         c = jw.transforms.ssq.one_integral_constant(jw.MorletWavelet(1, 1))
         assert abs(c.imag) < 1e-12
         assert abs(c.real - 1.02756) < 1e-3
+
+
+class TestRidgeExtraction:
+    def test_two_tone_ridges_and_mode_separation(self):
+        n = 4096
+        t = np.arange(n) / FS
+        x = tone(40.0, n) + 0.8 * tone(160.0, n, phase=0.9)
+        wav = jw.MorletWavelet(1, 1)
+        res = jw.ssq_cwt(jnp.asarray(x), SCALES, wav, FS)
+        idx, freqs = jw.extract_ridge(res, n_ridges=2, tube_width=3)
+        assert idx.shape == freqs.shape == (2, n)
+        mid = slice(n // 4, 3 * n // 4)
+        got = sorted([float(np.median(np.asarray(freqs)[r][mid])) for r in range(2)])
+        assert abs(got[0] - 40.0) / 40.0 < 0.05
+        assert abs(got[1] - 160.0) / 160.0 < 0.05
+        # mode extraction: each ridge tube reconstructs its own tone
+        order = 0 if float(np.median(np.asarray(freqs)[0][mid])) < 100 else 1
+        interior = slice(n // 8, -n // 8)
+        m40 = jw.ridge_tube_mask(res, idx[order], tube_width=4)
+        r40 = np.asarray(jw.issq_cwt(res, wav, band=m40))
+        assert np.abs(r40 - tone(40.0, n))[interior].max() < 0.06
+        m160 = jw.ridge_tube_mask(res, idx[1 - order], tube_width=4)
+        r160 = np.asarray(jw.issq_cwt(res, wav, band=m160))
+        assert np.abs(r160 - 0.8 * tone(160.0, n, phase=0.9))[interior].max() < 0.06
+        # the two modes plus the residual band sum to the full reconstruction
+        full = np.asarray(jw.issq_cwt(res, wav))
+        rest = np.asarray(jw.issq_cwt(res, wav, band=~(np.asarray(m40) | np.asarray(m160))))
+        np.testing.assert_allclose(r40 + r160 + rest, full, atol=1e-10)
+
+    def test_dp_ridge_smoother_than_argmax_on_noisy_chirp(self, rng):
+        n = 4096
+        t = np.arange(n) / FS
+        f_true = 60.0 + 100.0 * t / t[-1]
+        phase = 2 * np.pi * (60.0 * t + 50.0 / t[-1] * t**2)
+        x = np.cos(phase) + 0.5 * rng.standard_normal(n)
+        res = jw.ssq_cwt(jnp.asarray(x), SCALES, "morlet", FS)
+        _, freqs = jw.extract_ridge(res, penalty=3.0)
+        raw = np.asarray(res.ridge())
+        dp = np.asarray(freqs)[0]
+        mid = slice(n // 8, -n // 8)
+        err_dp = np.median(np.abs(dp[mid] - f_true[mid]) / f_true[mid])
+        err_raw = np.median(np.abs(raw[mid] - f_true[mid]) / f_true[mid])
+        assert err_dp < 0.05
+        assert err_dp <= err_raw + 1e-12
+        # DP path is smoother: fewer large jumps than the per-column argmax
+        assert np.abs(np.diff(dp[mid])).max() <= np.abs(np.diff(raw[mid])).max()
+
+    def test_batched_and_guards(self, rng):
+        n = 1024
+        xs = jnp.asarray(np.stack([tone(30.0, n), tone(120.0, n)]))
+        res = jw.ssq_cwt(xs, SCALES, "morlet", FS)
+        idx, freqs = jw.extract_ridge(res)
+        assert idx.shape == (2, 1, n)
+        mid = slice(n // 4, 3 * n // 4)
+        assert abs(float(np.median(np.asarray(freqs)[0, 0][mid])) - 30.0) < 3.0
+        assert abs(float(np.median(np.asarray(freqs)[1, 0][mid])) - 120.0) < 8.0
+        with pytest.raises(jw.JWaveFailure):
+            jw.extract_ridge(res, n_ridges=0)
+        single = jw.ssq_cwt(xs[0], SCALES, "morlet", FS)
+        with pytest.raises(jw.JWaveFailure):
+            jw.issq_cwt(single, "morlet", band=(1e6, 2e6))
