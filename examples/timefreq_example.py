@@ -39,6 +39,19 @@ def main():
     print(f"issq_cwt reconstruction max interior error: "
           f"{np.abs(xr - x)[interior].max():.2e}")
 
+    # --- ridge extraction + mode separation ----------------------------
+    idx, rfreqs = jw.extract_ridge(res, n_ridges=2, tube_width=3)
+    rf = np.asarray(rfreqs)
+    order = 0 if np.median(rf[0][interior]) < np.median(rf[1][interior]) else 1
+    print(f"ridge A ~{np.median(rf[order][interior]):.1f} Hz (tone), "
+          f"ridge B sweeps {rf[1 - order][interior].min():.0f}"
+          f"-{rf[1 - order][interior].max():.0f} Hz (chirp)")
+    mode_tone = np.asarray(jw.issq_cwt(
+        res, wav, band=jw.ridge_tube_mask(res, idx[order], tube_width=4)))
+    err_tone = np.abs(mode_tone - np.cos(2 * np.pi * 40 * t))[interior].max()
+    print(f"extracted 40 Hz mode, max interior error vs the pure tone: "
+          f"{err_tone:.3f}")
+
     # --- MODWT multiresolution analysis --------------------------------
     mra = np.asarray(jw.modwt_mra(x, "db4", level=5))  # (6, n), sums to x
     print("MRA additivity error:", np.abs(mra.sum(axis=0) - x).max())
