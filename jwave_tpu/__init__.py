@@ -56,6 +56,7 @@ from .cwavelets import (
     DOGWavelet,
     MexicanHatWavelet,
     MeyerWavelet,
+    MorseWavelet,
     MorletWavelet,
     PaulWavelet,
     get_continuous_wavelet,
@@ -129,7 +130,7 @@ __all__ = [
     "Compressor", "CompressorMagnitude", "CompressorPeaksAverage",
     "denoise", "denoise_2d", "soft_threshold", "hard_threshold", "mad_sigma",
     "MorletWavelet", "MexicanHatWavelet", "PaulWavelet", "DOGWavelet",
-    "MeyerWavelet", "get_continuous_wavelet",
+    "MeyerWavelet", "MorseWavelet", "get_continuous_wavelet",
     "FilterBank", "get_filter", "available_filters", "junit_passing_filters",
     "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose", "fwt_split", "fwt_merge",
     "wpt", "iwpt", "BestBasis", "best_basis", "best_basis_reconstruct",

@@ -14,6 +14,7 @@ from .mexhat import MexicanHatWavelet
 from .paul import PaulWavelet
 from .dog import DOGWavelet
 from .meyer import MeyerWavelet
+from .morse import MorseWavelet
 
 __all__ = [
     "ContinuousWavelet",
@@ -22,6 +23,7 @@ __all__ = [
     "PaulWavelet",
     "DOGWavelet",
     "MeyerWavelet",
+    "MorseWavelet",
     "get_continuous_wavelet",
 ]
 
@@ -33,6 +35,7 @@ _FACTORIES = {
     "paul": PaulWavelet,
     "dog": DOGWavelet,
     "meyer": MeyerWavelet,
+    "morse": MorseWavelet,
 }
 
 
