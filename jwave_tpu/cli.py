@@ -51,7 +51,7 @@ def _list() -> int:
         fb = get_filter(name)
         flags = "" if fb.junit_passing else "  [no perfect reconstruction in reference tests]"
         print(f"  {name:<22} ({fb.length:>2} taps){flags}")
-    print("\ncontinuous wavelets: Morlet, Mexican Hat, Paul, DOG, Meyer")
+    print("\ncontinuous wavelets: Morlet, Mexican Hat, Paul, DOG, Meyer, Morse")
     return 0
 
 

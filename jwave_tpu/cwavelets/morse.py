@@ -41,7 +41,13 @@ class MorseWavelet(ContinuousWavelet):
             raise ValueError("Morse beta and gamma must be positive")
         self.beta = float(beta)
         self.gamma = float(gamma)
-        self.norm = 2.0 * (math.e * gamma / beta) ** (beta / gamma)
+        # keep the normalization in LOG space: for large beta both the
+        # amplitude a and exp(beta log w - w^gamma) overflow on their own
+        # (f32 overflows near beta ~ 90) while their product is O(1)
+        self.log_norm = math.log(2.0) + (beta / gamma) * (
+            1.0 + math.log(gamma) - math.log(beta)
+        )
+        self.norm = math.exp(self.log_norm) if self.log_norm < 700 else math.inf
         self.omega_peak = (beta / gamma) ** (1.0 / gamma)
         self.name = f"Morse (beta={beta:g}, gamma={gamma:g})"
         self.center_frequency = self.omega_peak / (2.0 * math.pi)
@@ -54,7 +60,9 @@ class MorseWavelet(ContinuousWavelet):
         omega = jnp.asarray(omega)
         pos = omega > 0
         w = jnp.where(pos, omega, 1.0)  # dead-branch guard (0^beta, exp overflow)
-        val = self.norm * jnp.exp(self.beta * jnp.log(w) - w**self.gamma)
+        # single exp of the fully-folded log magnitude — each factor alone
+        # overflows float32 for jLab-range beta (e.g. beta=120)
+        val = jnp.exp(self.log_norm + self.beta * jnp.log(w) - w**self.gamma)
         return to_complex(jnp.where(pos, val, 0.0))
 
     def psi(self, t):
@@ -83,9 +91,12 @@ class MorseWavelet(ContinuousWavelet):
 
     def admissibility_constant(self) -> float:
         """C = int |psi_hat|^2 / w dw = a^2 Gamma(2 beta / gamma) /
-        (gamma 2^(2 beta / gamma))."""
+        (gamma 2^(2 beta / gamma)) — evaluated in log space (a^2 and
+        Gamma(2 beta/gamma) individually overflow for large beta)."""
         r = 2.0 * self.beta / self.gamma
-        return self.norm**2 * math.gamma(r) / (self.gamma * 2.0**r)
+        return math.exp(
+            2.0 * self.log_norm + math.lgamma(r) - math.log(self.gamma) - r * math.log(2.0)
+        )
 
     def effective_support(self):
         r = 6.0 * self._duration
@@ -94,6 +105,6 @@ class MorseWavelet(ContinuousWavelet):
     def bandwidth(self):
         """Frequency band where psi_hat exceeds ~1% of its peak (numeric)."""
         w = self._quad_nodes()
-        mag = self.norm * np.exp(self.beta * np.log(w) - w**self.gamma)
-        sig = w[mag > 0.01 * mag.max()]
+        log_mag = self.beta * np.log(w) - w**self.gamma  # norm cancels
+        sig = w[log_mag > log_mag.max() + math.log(0.01)]
         return (float(sig[0]) / (2.0 * math.pi), float(sig[-1]) / (2.0 * math.pi))

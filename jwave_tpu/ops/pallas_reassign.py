@@ -49,7 +49,47 @@ def reassign_pallas(contrib, k_idx, n_bins: int, *, time_tile: int = 512):
     (…, n_bins, N) complex squeezed plane. Indices outside [0, n_bins) are
     dropped (the ssq drop-sentinel convention). N and S are padded to tile
     multiples internally; any leading dims are batched through the grid.
+
+    Computes in float32 (the TPU VPU's native width) — 64-bit inputs are
+    rejected rather than silently downcast; use the dense/scatter paths for
+    float64 validation runs. Differentiable: the map is linear in the
+    contributions, so the custom VJP is one gather along the bin axis.
     """
+    if jnp.dtype(contrib.dtype) in (jnp.dtype("complex128"), jnp.dtype("float64")):
+        from ..exceptions import JWaveFailure
+
+        raise JWaveFailure(
+            "reassign_pallas - the Pallas kernel computes in float32; use "
+            "reassign='dense' or 'scatter' for 64-bit inputs"
+        )
+    return _reassign_cv(contrib, k_idx, n_bins, time_tile)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _reassign_cv(contrib, k_idx, n_bins, time_tile):
+    return _reassign_impl(contrib, k_idx, n_bins, time_tile)
+
+
+def _reassign_cv_fwd(contrib, k_idx, n_bins, time_tile):
+    return _reassign_impl(contrib, k_idx, n_bins, time_tile), k_idx
+
+
+def _reassign_cv_bwd(n_bins, time_tile, k_idx, ct):
+    # out[k, t] = sum_{s : k_idx[s,t]==k} c[s, t] is c @ a 0/1 matrix, so the
+    # cotangent w.r.t. c is the gather ct[k_idx[s,t], t] (0 when dropped)
+    valid = (k_idx >= 0) & (k_idx < n_bins)
+    kc = jnp.clip(k_idx, 0, n_bins - 1)
+    g = jnp.take_along_axis(ct, kc, axis=-2)
+    g = jnp.where(valid, g, 0)
+    import numpy as _np
+
+    return g, _np.zeros(k_idx.shape, dtype=jax.dtypes.float0)
+
+
+_reassign_cv.defvjp(_reassign_cv_fwd, _reassign_cv_bwd)
+
+
+def _reassign_impl(contrib, k_idx, n_bins: int, time_tile: int = 512):
     lead = contrib.shape[:-2]
     s, n = contrib.shape[-2:]
     g = 1

@@ -223,7 +223,7 @@ def ssq_scale_sharded(
     if not wav.is_analytic:
         raise JWaveFailure(
             f"ssq_scale_sharded - synchrosqueezing needs an analytic wavelet "
-            f"(Morlet, Paul); got {wav.name!r}"
+            f"(Morlet, Paul, Morse); got {wav.name!r}"
         )
     scales_np = np.atleast_1d(np.asarray(scales, dtype=np.float64))
     if scales_np.shape[0] % n_dev != 0:

@@ -454,6 +454,9 @@ def modwt_mra_2d(mat, wavelet, level: int, **kw):
     if boundary == "reflection":
         mat = ensure_float(jnp.asarray(mat))
         r, c = mat.shape[-2:]
+        if min(r, c) > 0:
+            # validate against the USER's image size, not the 2Rx2C mirror
+            _validate_level(min(r, c), level, "modwt_mra_2d")
         ext = jnp.concatenate([mat, jnp.flip(mat, axis=-1)], axis=-1)
         ext = jnp.concatenate([ext, jnp.flip(ext, axis=-2)], axis=-2)
         return modwt_mra_2d(ext, wavelet, level, **kw)[..., :r, :c]

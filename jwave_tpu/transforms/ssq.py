@@ -22,7 +22,7 @@ same ``psi_hat`` the forward used, so the library's wavelet normalization
 quirks (e.g. the reference's Morlet psi_hat scaling,
 MorletWavelet.java:114-124) cancel exactly.
 
-Synchrosqueezing requires an analytic wavelet (Morlet, Paul): for a real
+Synchrosqueezing requires an analytic wavelet (Morlet, Paul, Morse): for a real
 signal the instantaneous-frequency estimate Im[dW/W]/2pi is only meaningful
 when the wavelet suppresses negative frequencies.
 """
@@ -201,10 +201,12 @@ def _squeeze_plane(W, dW, wgt, freqs_np: np.ndarray, gamma_abs, out_of_range: st
     if reassign == "pallas":
         # VMEM-tiled kernel: reads the contributions once instead of once
         # per bin row (ops/pallas_reassign.py); opt-in pending hardware
-        # benchmarking against the dense XLA form
+        # benchmarking against the dense XLA form. The kernel computes in
+        # float32 (the VPU's width) — passing it here is an explicit opt-in,
+        # and the complex64 result dtype makes the precision visible
         from ..ops.pallas_reassign import reassign_pallas
 
-        return reassign_pallas(contrib, k_idx, n_bins)
+        return reassign_pallas(contrib.astype(jnp.complex64), k_idx, n_bins)
     if reassign == "dense":
         # one fused compare-select-reduce per bin row: no data-dependent
         # addressing anywhere, so XLA tiles it onto the VPU (8.6 ms vs the
@@ -267,7 +269,7 @@ def ssq_cwt(
       signal: (..., N) real; batched over leading axes.
       scales: monotone scale grid in seconds (log-spaced recommended; see
         :func:`jwave_tpu.generate_log_scales`).
-      wavelet: an *analytic* continuous wavelet (Morlet or Paul).
+      wavelet: an *analytic* continuous wavelet (Morlet, Paul, or Morse).
       frequencies: target bin grid — None (log-spaced, one bin per scale,
         spanning the scale grid's own frequency range), an int (that many
         log-spaced bins over the same range), or an explicit increasing
@@ -284,8 +286,9 @@ def ssq_cwt(
         reconstruction error on two-tone signals. "drop" discards it for a
         cleaner display.
       reassign: reassignment kernel — "auto" (default; dense masked
-        reduction on accelerators, scatter-add on CPU), "dense", or
-        "scatter". See :func:`_squeeze_plane`.
+        reduction on accelerators, scatter-add on CPU), "dense", "scatter",
+        or "pallas" (VMEM-tiled TPU kernel, float32 only). See
+        :func:`_squeeze_plane`.
 
     Returns an :class:`SSQResult`; ``sum_k Tx[k, b]`` over bins equals the
     weighted scale sum ``sum_j W(a_j, b) a_j^{-1/2} dln(a_j)`` of the kept
@@ -295,7 +298,7 @@ def ssq_cwt(
     if not wav.is_analytic:
         raise JWaveFailure(
             f"ssq_cwt - synchrosqueezing needs an analytic wavelet (Morlet, "
-            f"Paul); {wav.name!r} has negative-frequency support, so the "
+            f"Paul, Morse); {wav.name!r} has negative-frequency support, so the "
             f"instantaneous-frequency estimate of a real signal is meaningless"
         )
     scales_np = np.atleast_1d(np.asarray(scales, dtype=np.float64))
@@ -437,11 +440,14 @@ def issq_cwt(result: SSQResult, wavelet: ContinuousWavelet | str | None = None,
         if isinstance(band, tuple) and len(band) == 2:
             f_lo, f_hi = band
             sel = (result.frequencies >= f_lo) & (result.frequencies <= f_hi)
-            if not bool(jnp.any(sel)):
+            # empty-band validation needs concrete values; under jit/vmap the
+            # frequencies are tracers, so the check is skipped (an empty band
+            # then reconstructs zeros, which is at least well-defined)
+            if not isinstance(sel, jax.core.Tracer) and not bool(jnp.any(sel)):
+                freqs = np.asarray(result.frequencies)
                 raise JWaveFailure(
                     f"issq_cwt - band ({f_lo}, {f_hi}) Hz contains no frequency "
-                    f"bins (grid spans {float(result.frequencies[0]):g}.."
-                    f"{float(result.frequencies[-1]):g} Hz)"
+                    f"bins (grid spans {freqs[0]:g}..{freqs[-1]:g} Hz)"
                 )
             tx = tx * sel[:, None].astype(tx.real.dtype)
         else:

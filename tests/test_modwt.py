@@ -324,3 +324,10 @@ class TestMRAandVariance:
         assert vb.shape == vu.shape == (3, 3)
         with pytest.raises(jw.JWaveFailure):
             jw.modwt_variance(jnp.zeros(16), "db20", 4)
+
+
+def test_mra_2d_reflection_level_limit():
+    # reflection must validate the level against the user's image, not 2Rx2C
+    img = jnp.ones((4, 4))
+    with pytest.raises(jw.JWaveFailure, match="length 4"):
+        jw.modwt_mra_2d(img, "Haar", 3, boundary="reflection")

@@ -89,3 +89,14 @@ class TestMorseWavelet:
         a = np.asarray(direct.coefficients)[:, 128:384]
         b = np.asarray(fft.coefficients)[:, 128:384]
         np.testing.assert_allclose(a, b, rtol=0, atol=2e-2 * np.abs(b).max())
+
+
+def test_large_beta_no_overflow():
+    # jLab-range parameters: each factor of a * w^beta * e^{-w^gamma}
+    # overflows float32 alone; the log-space evaluation must not
+    w = jw.MorseWavelet(120.0, 3.0)
+    om = np.linspace(0.1, 2.0 * w.omega_peak, 4000)
+    mag = np.abs(np.asarray(w.psi_hat(jnp.asarray(om, dtype=jnp.float32))))
+    assert np.all(np.isfinite(mag))
+    assert abs(mag.max() - 2.0) < 1e-3
+    assert np.isfinite(w.admissibility_constant())
