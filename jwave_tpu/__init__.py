@@ -114,6 +114,9 @@ from .transforms import (
     ssq_cwt,
     issq_cwt,
     SSQResult,
+    scattering1d,
+    scattering_filter_bank,
+    ScatteringResult,
     extract_ridge,
     ridge_tube_mask,
     best_basis,
@@ -140,6 +143,7 @@ __all__ = [
     "ConvolutionMethod", "cwt", "cwt_chunked", "cwt_direct", "icwt", "xwt",
     "wavelet_coherence", "CWTResult", "PaddingType",
     "ssq_cwt", "issq_cwt", "SSQResult", "extract_ridge", "ridge_tube_mask",
+    "scattering1d", "scattering_filter_bank", "ScatteringResult",
     "generate_log_scales", "generate_linear_scales",
     "fft", "ifft", "aed_forward", "aed_reverse",
     "shifting_forward", "shifting_reverse",
