@@ -105,6 +105,8 @@ from .transforms import (
     modwt_variance_ci,
     modwt_covariance,
     modwt_correlation,
+    wavelet_log_spectrum,
+    hurst_exponent,
     modwt_1d,
     modwt_2d,
     shifting_forward,
@@ -139,7 +141,7 @@ __all__ = [
     "wpt", "iwpt", "BestBasis", "best_basis", "best_basis_reconstruct",
     "modwt", "imodwt", "modwt_1d", "imodwt_1d", "modwt_2d", "imodwt_2d",
     "modwt_mra", "modwt_mra_2d", "modwt_variance", "modwt_variance_ci",
-    "modwt_covariance", "modwt_correlation",
+    "modwt_covariance", "modwt_correlation", "wavelet_log_spectrum", "hurst_exponent",
     "ConvolutionMethod", "cwt", "cwt_chunked", "cwt_direct", "icwt", "xwt",
     "wavelet_coherence", "CWTResult", "PaddingType",
     "ssq_cwt", "issq_cwt", "SSQResult", "extract_ridge", "ridge_tube_mask",

@@ -6,7 +6,7 @@ over all leading axes. Class facades live in :mod:`jwave_tpu.api`.
 """
 from .fwt import fwt, ifwt, fwt_max_level, fwt_decompose, fwt_recompose, fwt_split, fwt_merge
 from .wpt import BestBasis, best_basis, best_basis_reconstruct, iwpt, wpt
-from .modwt import modwt, imodwt, modwt_1d, imodwt_1d, modwt_2d, imodwt_2d, modwt_mra, modwt_mra_2d, modwt_variance, modwt_variance_ci, modwt_covariance, modwt_correlation, ConvolutionMethod
+from .modwt import modwt, imodwt, modwt_1d, imodwt_1d, modwt_2d, imodwt_2d, modwt_mra, modwt_mra_2d, modwt_variance, modwt_variance_ci, modwt_covariance, modwt_correlation, wavelet_log_spectrum, hurst_exponent, ConvolutionMethod
 from .cwt import cwt, cwt_chunked, cwt_direct, icwt, xwt, wavelet_coherence, CWTResult, generate_log_scales, generate_linear_scales, PaddingType
 from .ssq import ssq_cwt, issq_cwt, SSQResult, one_integral_constant, extract_ridge, ridge_tube_mask
 from .scattering import scattering1d, scattering_filter_bank, ScatteringResult

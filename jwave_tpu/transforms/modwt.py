@@ -619,3 +619,79 @@ def modwt_correlation(x, y, wavelet, level: int, unbiased: bool = True, **kw):
     vx = _detail_moments(cx, cx, wavelet, level, unbiased, "modwt_correlation")
     vy = _detail_moments(cy, cy, wavelet, level, unbiased, "modwt_correlation")
     return jnp.clip(cov / jnp.sqrt(vx * vy), -1.0, 1.0)
+
+
+def wavelet_log_spectrum(x, wavelet, level: int, unbiased: bool = True, **kw):
+    """Logscale diagram: per-level ``log2`` wavelet variance plus the
+    weighted-least-squares line fitted through it (Abry & Veitch 1998).
+
+    Long-memory processes have ``nu_j^2 ~ tau_j^alpha`` with ``tau_j =
+    2^(j-1)``, so ``log2 nu_j^2`` is affine in the octave j; the fitted
+    slope is the scaling exponent alpha. Weights are the Abry-Veitch
+    ``1/Var[log2 nu_hat_j^2]`` with ``Var ~ 2 / (n_j ln^2 2)`` for the
+    ``n_j`` interior coefficients at level j — deeper (sparser) octaves
+    count less. The regression is closed form, batched over leading axes.
+
+    Returns ``(log2_var, slope, intercept)`` with shapes ``(..., J)``,
+    ``(...)``, ``(...)``.
+    """
+    x = ensure_float(jnp.asarray(x))
+    var = modwt_variance(x, wavelet, level, unbiased=unbiased, **kw)
+    if level < 2:
+        raise JWaveFailure("wavelet_log_spectrum - need level >= 2 to fit a slope")
+    n = x.shape[-1]
+    m = get_filter(wavelet).length
+    j = np.arange(1, level + 1, dtype=np.float64)
+    if unbiased:
+        n_j = np.array([n - (m - 1) * ((1 << int(jj)) - 1) for jj in j], dtype=np.float64)
+    else:
+        n_j = np.full(level, float(n))
+    w = n_j / n_j.sum()  # Var[log2 v_j] ~ 2/(n_j ln^2 2) -> weights ~ n_j
+    y = jnp.log2(var)
+    jbar = float((w * j).sum())
+    denom = float((w * (j - jbar) ** 2).sum())
+    jw = jnp.asarray(w * (j - jbar) / denom, dtype=y.dtype)
+    slope = jnp.sum(y * jw, axis=-1)
+    intercept = jnp.sum(y * jnp.asarray(w, dtype=y.dtype), axis=-1) - slope * jbar
+    return y, slope, intercept
+
+
+def hurst_exponent(x, wavelet="db4", level: int | None = None,
+                   kind: str = "fgn", unbiased: bool = True, **kw):
+    """Wavelet-domain Hurst exponent (Abry-Veitch logscale regression).
+
+    The MODWT wavelet variance of a long-memory process scales as
+    ``nu_j^2 ~ tau_j^(2H-2)`` for stationary fractional Gaussian noise
+    (band-integrating its ``f^(1-2H)`` spectrum over the level-j octave)
+    and ``tau_j^(2H)`` for nonstationary fractional Brownian motion, so
+    the logscale slope alpha of :func:`wavelet_log_spectrum` maps to
+    ``H = alpha/2 + 1`` (``kind="fgn"``, e.g. network traffic, volatility
+    increments) and ``H = alpha/2`` (``kind="fbm"``, the cumulative
+    path). Note this differs by 1 in alpha from the DWT-energy convention
+    of Abry-Veitch (their d_{j,k} carry a 2^(j/2) the MODWT folds into its
+    rescaled filters). ``level=None`` picks the deepest
+    level whose unbiased interior keeps at least 16 coefficients. Returns
+    H with the leading batch shape of ``x``; jit/vmap/grad-compatible.
+
+    Validated against synthesized fGn/fBm across H in [0.2, 0.9]
+    (tests/test_modwt.py); the reference library has no estimator layer.
+    """
+    if kind not in ("fgn", "fbm"):
+        raise JWaveFailure(f"hurst_exponent - kind must be 'fgn' or 'fbm', got {kind!r}")
+    x = ensure_float(jnp.asarray(x))
+    n = x.shape[-1]
+    m = get_filter(wavelet).length
+    if level is None:
+        level = 0
+        while level < 13:
+            l_next = (m - 1) * ((1 << (level + 1)) - 1) + 1
+            if n - (l_next - 1) < 16:
+                break
+            level += 1
+        if level < 2:
+            raise JWaveFailure(
+                f"hurst_exponent - signal too short for a level-2 unbiased "
+                f"fit with {m}-tap '{wavelet}' (N = {n})"
+            )
+    _, slope, _ = wavelet_log_spectrum(x, wavelet, level, unbiased=unbiased, **kw)
+    return slope / 2.0 + 1.0 if kind == "fgn" else slope / 2.0

@@ -1,6 +1,7 @@
 """MODWT correctness: oracle parity, FFT==direct, perfect reconstruction on
 arbitrary lengths, level limits, flattened 1D interface."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -331,3 +332,53 @@ def test_mra_2d_reflection_level_limit():
     img = jnp.ones((4, 4))
     with pytest.raises(jw.JWaveFailure, match="length 4"):
         jw.modwt_mra_2d(img, "Haar", 3, boundary="reflection")
+
+
+class TestLongMemoryEstimators:
+    @staticmethod
+    def _fgn(H, n, rng):
+        """Davies-Harte circulant embedding: exact fractional Gaussian noise."""
+        k = np.arange(n + 1)
+        g = 0.5 * (np.abs(k - 1)**(2*H) - 2*np.abs(k)**(2*H) + np.abs(k + 1)**(2*H))
+        row = np.concatenate([g, g[-2:0:-1]])
+        lam = np.fft.fft(row).real
+        lam[lam < 0] = 0.0
+        z = rng.standard_normal(2*n) + 1j * rng.standard_normal(2*n)
+        return np.fft.fft(z * np.sqrt(lam / (4*n)))[:n].real
+
+    @pytest.mark.parametrize("H", [0.2, 0.5, 0.7, 0.9])
+    def test_recovers_fgn_hurst(self, H, rng):
+        x = jnp.asarray(self._fgn(H, 1 << 15, rng))
+        h = float(jw.hurst_exponent(x, "db4"))
+        assert abs(h - H) < 0.1
+
+    @pytest.mark.parametrize("H", [0.3, 0.7])
+    def test_recovers_fbm_hurst(self, H, rng):
+        x = jnp.asarray(np.cumsum(self._fgn(H, 1 << 15, rng)))
+        h = float(jw.hurst_exponent(x, "db4", kind="fbm"))
+        assert abs(h - H) < 0.1
+
+    def test_white_noise_is_half(self, rng):
+        xb = jnp.asarray(rng.standard_normal((4, 1 << 14)))
+        h = np.asarray(jw.hurst_exponent(xb))
+        assert h.shape == (4,)
+        assert np.all(np.abs(h - 0.5) < 0.1)
+
+    def test_log_spectrum_shapes_and_fit(self, rng):
+        xb = jnp.asarray(rng.standard_normal((3, 4096)))
+        y, s, b = jw.wavelet_log_spectrum(xb, "db4", 6)
+        assert y.shape == (3, 6) and s.shape == (3,) and b.shape == (3,)
+        # white noise: each octave holds half the bandwidth, so the MODWT
+        # logscale diagram has slope -1 (H = -1/2 + 1 = 0.5)
+        assert np.all(np.abs(np.asarray(s) + 1.0) < 0.3)
+
+    def test_jit_and_guards(self, rng):
+        x = jnp.asarray(rng.standard_normal(4096))
+        f = jax.jit(lambda a: jw.hurst_exponent(a, "db4", level=6))
+        assert abs(float(f(x)) - float(jw.hurst_exponent(x, "db4", level=6))) < 1e-12
+        with pytest.raises(jw.JWaveFailure):
+            jw.hurst_exponent(x, "db4", kind="arfima")
+        with pytest.raises(jw.JWaveFailure):
+            jw.hurst_exponent(jnp.ones(32), "db20")  # too short for level 2
+        with pytest.raises(jw.JWaveFailure):
+            jw.wavelet_log_spectrum(x, "db4", 1)
