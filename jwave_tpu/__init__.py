@@ -119,6 +119,9 @@ from .transforms import (
     scattering1d,
     scattering_filter_bank,
     ScatteringResult,
+    scattering2d,
+    scattering_filter_bank_2d,
+    Scattering2DResult,
     extract_ridge,
     ridge_tube_mask,
     best_basis,
@@ -146,6 +149,7 @@ __all__ = [
     "wavelet_coherence", "CWTResult", "PaddingType",
     "ssq_cwt", "issq_cwt", "SSQResult", "extract_ridge", "ridge_tube_mask",
     "scattering1d", "scattering_filter_bank", "ScatteringResult",
+    "scattering2d", "scattering_filter_bank_2d", "Scattering2DResult",
     "generate_log_scales", "generate_linear_scales",
     "fft", "ifft", "aed_forward", "aed_reverse",
     "shifting_forward", "shifting_reverse",

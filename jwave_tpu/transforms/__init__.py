@@ -9,7 +9,7 @@ from .wpt import BestBasis, best_basis, best_basis_reconstruct, iwpt, wpt
 from .modwt import modwt, imodwt, modwt_1d, imodwt_1d, modwt_2d, imodwt_2d, modwt_mra, modwt_mra_2d, modwt_variance, modwt_variance_ci, modwt_covariance, modwt_correlation, wavelet_log_spectrum, hurst_exponent, ConvolutionMethod
 from .cwt import cwt, cwt_chunked, cwt_direct, icwt, xwt, wavelet_coherence, CWTResult, generate_log_scales, generate_linear_scales, PaddingType
 from .ssq import ssq_cwt, issq_cwt, SSQResult, one_integral_constant, extract_ridge, ridge_tube_mask
-from .scattering import scattering1d, scattering_filter_bank, ScatteringResult
+from .scattering import scattering1d, scattering_filter_bank, ScatteringResult, scattering2d, scattering_filter_bank_2d, Scattering2DResult
 from .fft import bluestein_fft, fft, ifft, dft, idft, fft_interleaved, ifft_interleaved
 from .aed import aed_forward, aed_reverse
 from .shifting import shifting_forward, shifting_reverse
@@ -21,6 +21,7 @@ __all__ = [
     "modwt", "imodwt", "modwt_1d", "imodwt_1d", "modwt_2d", "imodwt_2d", "ConvolutionMethod",
     "cwt", "cwt_chunked", "cwt_direct", "icwt", "CWTResult", "generate_log_scales", "generate_linear_scales", "PaddingType",
     "scattering1d", "scattering_filter_bank", "ScatteringResult",
+    "scattering2d", "scattering_filter_bank_2d", "Scattering2DResult",
     "fft", "ifft", "dft", "idft", "fft_interleaved", "ifft_interleaved",
     "aed_forward", "aed_reverse",
     "shifting_forward", "shifting_reverse",

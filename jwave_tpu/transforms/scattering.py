@@ -269,3 +269,196 @@ def scattering1d(
     return ScatteringResult(
         s0, s1, s2, bank.xi1, bank.xi2, bank.paths, float(sampling_rate)
     )
+
+
+# --------------------------------------------------------------------------
+# 2D (image) scattering — Bruna & Mallat 2013
+# --------------------------------------------------------------------------
+
+def _gauss_bump_2d(fy, fx, xi: float, theta: float, sigma: float) -> np.ndarray:
+    """Oriented zero-mean Gaussian bump centered at xi*(cos, sin) theta.
+    ``fy``/``fx`` are meshgrid frequency planes in cycles/pixel."""
+    cy, cx = xi * math.sin(theta), xi * math.cos(theta)
+    g = np.exp(-((fx - cx) ** 2 + (fy - cy) ** 2) / (2.0 * sigma**2))
+    kappa = math.exp(-(xi**2) / (2.0 * sigma**2))
+    return g - kappa * np.exp(-(fx**2 + fy**2) / (2.0 * sigma**2))
+
+
+@dataclass(frozen=True)
+class ScatteringBank2D:
+    """Static 2D filter bank + path table for one (Py, Px, J, L)."""
+
+    psi_hat: np.ndarray  # (J*L, Py, Px) — scale-major: filter j*L + l
+    phi_hat: np.ndarray  # (Py, Px)
+    xi: np.ndarray  # (J,) center frequencies, cycles/pixel
+    thetas: np.ndarray  # (L,)
+    paths: np.ndarray  # (P2, 2) — (k1, k2) flat filter indices, j2 > j1
+
+
+def scattering_filter_bank_2d(py: int, px: int, J: int, L: int) -> ScatteringBank2D:
+    """Oriented Morlet-style bank on a (py, px) FFT grid: J dyadic scales x
+    L orientations over the upper half-plane (the modulus makes the lower
+    half redundant for real images)."""
+    key = ("2d", py, px, J, L)
+    if key in _BANK_CACHE:
+        return _BANK_CACHE[key]
+    iy = np.arange(py, dtype=np.float64)
+    ix = np.arange(px, dtype=np.float64)
+    gy = iy / py
+    gy[iy > py // 2] -= 1.0
+    gx = ix / px
+    gx[ix > px // 2] -= 1.0
+    fy, fx = np.meshgrid(gy, gx, indexing="ij")
+
+    xi = XI_MAX * 2.0 ** (-np.arange(J, dtype=np.float64))
+    sig = _sigma_for(xi, 1)
+    thetas = np.pi * np.arange(L, dtype=np.float64) / L
+    psi = np.stack([
+        _gauss_bump_2d(fy, fx, x, t, s)
+        for x, s in zip(xi, sig)
+        for t in thetas
+    ])
+    sigma_phi = XI_MAX * 2.0 ** (-float(J)) / math.sqrt(2.0 * math.log(2.0))
+    phi = np.exp(-(fx**2 + fy**2) / (2.0 * sigma_phi**2))
+    # frequency-decreasing paths: scale j2 strictly coarser than j1,
+    # all orientation pairs (Bruna & Mallat 2013 §3.1)
+    paths = np.asarray(
+        [
+            (j1 * L + l1, j2 * L + l2)
+            for j1 in range(J)
+            for j2 in range(j1 + 1, J)
+            for l1 in range(L)
+            for l2 in range(L)
+        ],
+        dtype=np.int64,
+    ).reshape(-1, 2)
+    bank = ScatteringBank2D(psi, phi, xi, thetas, paths)
+    _BANK_CACHE[key] = bank
+    return bank
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Scattering2DResult:
+    """2D scattering coefficients as a jax pytree.
+
+    ``S0``: (..., Ty, Tx); ``S1``: (..., J*L, Ty, Tx) scale-major;
+    ``S2``: (..., P2, Ty, Tx) — path p is ``paths[p] = (k1, k2)`` flat
+    filter indices (scale ``k // L``, orientation ``k % L``).
+    """
+
+    S0: jnp.ndarray
+    S1: jnp.ndarray
+    S2: jnp.ndarray
+    xi: np.ndarray
+    thetas: np.ndarray
+    paths: np.ndarray
+
+    def tree_flatten(self):
+        return (self.S0, self.S1, self.S2), (
+            self.xi.tobytes(), self.xi.shape,
+            self.thetas.tobytes(), self.thetas.shape,
+            self.paths.tobytes(), self.paths.shape,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        xb, xs, tb, ts, pb, ps = aux
+        return cls(
+            *children,
+            np.frombuffer(xb, dtype=np.float64).reshape(xs),
+            np.frombuffer(tb, dtype=np.float64).reshape(ts),
+            np.frombuffer(pb, dtype=np.int64).reshape(ps),
+        )
+
+    @property
+    def n_orientations(self) -> int:
+        return int(self.thetas.shape[0])
+
+    @property
+    def n_paths(self) -> int:
+        return int(self.paths.shape[0])
+
+    def features(self):
+        """(..., 1 + J*L + P2, Ty, Tx) stacked band axis."""
+        return jnp.concatenate([self.S0[..., None, :, :], self.S1, self.S2], axis=-3)
+
+
+def _fft2(z):
+    return _fft(_fft(z, axis=-1), axis=-2)
+
+
+def _ifft2(z):
+    return _ifft(_ifft(z, axis=-1), axis=-2)
+
+
+def scattering2d(
+    image,
+    J: int,
+    L: int = 8,
+    oversampling: int = 0,
+) -> Scattering2DResult:
+    """Order-2 image scattering (Bruna & Mallat 2013) of (..., H, W) arrays.
+
+    Args:
+      image: real (..., H, W); leading axes batch.
+      J: invariance scale — outputs average over ``2^J x 2^J`` windows and
+        subsample by that stride.
+      L: orientations over the half-plane (8 is standard).
+      oversampling: subsample by ``2^(J - oversampling)`` instead.
+
+    The network is the 2D analog of :func:`scattering1d`: J*L oriented
+    bumps applied as ONE batched pow-2 2D FFT multiply, envelope spectra
+    reused for both the lowpass outputs and the second-order bank, path
+    table static. Images pad to the next power of two per axis (reflection
+    against wrap); texture-classification features come out of
+    ``result.features()``.
+    """
+    x = jnp.asarray(image)
+    if x.ndim < 2:
+        raise JWaveFailure("scattering2d - image must have at least 2 axes")
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise JWaveFailure("scattering2d - expected a real image")
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
+    h, w = x.shape[-2:]
+    if h < 2 or w < 2:
+        raise JWaveFailure("scattering2d - need at least 2x2 pixels")
+    if J < 1 or L < 1:
+        raise JWaveFailure("scattering2d - J and L must be >= 1")
+    if 2**J > min(h, w):
+        raise JWaveFailure(
+            f"scattering2d - invariance scale 2^{J} exceeds image extent {min(h, w)}"
+        )
+    stride = 2 ** max(0, J - oversampling)
+
+    py, px = next_power_of_two(2 * h), next_power_of_two(2 * w)
+    bank = scattering_filter_bank_2d(py, px, J, L)
+    cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
+    psi = jnp.asarray(bank.psi_hat, dtype=cdtype)
+    phi = jnp.asarray(bank.phi_hat, dtype=cdtype)
+    k1_of_path = jnp.asarray(bank.paths[:, 0])
+    psi2_of_path = psi[jnp.asarray(bank.paths[:, 1])]
+
+    # mirror-pad both axes (reflection suppresses wrap across the far edge)
+    ext = jnp.concatenate([x, jnp.flip(x, axis=-1)], axis=-1)[..., :, :px]
+    if 2 * w < px:
+        ext = pad_signal(ext, px, PaddingType.PERIODIC)
+    ext2 = jnp.concatenate([ext, jnp.flip(ext, axis=-2)], axis=-2)[..., :py, :]
+    if 2 * h < py:
+        reps = -(-py // ext2.shape[-2])
+        ext2 = jnp.concatenate([ext2] * reps, axis=-2)[..., :py, :]
+    X = _fft2(ext2.astype(cdtype))
+
+    def lowpass(spec):
+        y = _ifft2(spec * phi).real
+        return y[..., :h, :w][..., ::stride, ::stride]
+
+    s0 = lowpass(X)
+    u1 = jnp.abs(_ifft2(X[..., None, :, :] * psi))  # (..., J*L, Py, Px)
+    V1 = _fft2(u1.astype(cdtype))
+    s1 = lowpass(V1)
+    Vp = jnp.take(V1, k1_of_path, axis=-3)
+    u2 = jnp.abs(_ifft2(Vp * psi2_of_path))
+    s2 = lowpass(_fft2(u2.astype(cdtype)))
+    return Scattering2DResult(s0, s1, s2, bank.xi, bank.thetas, bank.paths)

@@ -157,3 +157,73 @@ class TestComposability:
             np.asarray(jw.scattering1d(xb, J=4, Q=2).features()),
             atol=1e-12,
         )
+
+
+def grating(theta_deg, xi=0.1, h=128, w=128):
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    th = np.radians(theta_deg)
+    return np.cos(2 * np.pi * xi * (np.cos(th) * xx + np.sin(th) * yy))
+
+
+class TestScattering2D:
+    def test_shapes_and_paths(self):
+        res = jw.scattering2d(jnp.asarray(grating(45.0)), J=3, L=8)
+        assert res.S0.shape == (16, 16)
+        assert res.S1.shape == (24, 16, 16)
+        assert res.S2.shape == (res.n_paths, 16, 16)
+        # paths are scale-increasing (j2 > j1) across all orientation pairs
+        j1 = res.paths[:, 0] // 8
+        j2 = res.paths[:, 1] // 8
+        assert np.all(j2 > j1)
+        assert res.n_paths == 8 * 8 * 3  # L^2 * J(J-1)/2
+        assert res.features().shape == (1 + 24 + res.n_paths, 16, 16)
+
+    @pytest.mark.parametrize("theta", [0.0, 45.0, 90.0, 112.5])
+    def test_orientation_selectivity(self, theta):
+        res = jw.scattering2d(jnp.asarray(grating(theta)), J=3, L=8)
+        e1 = np.asarray(res.S1.mean(axis=(-2, -1)))
+        k = int(e1.argmax())
+        got = np.degrees(res.thetas[k % 8])
+        # orientation is mod 180; allow the adjacent bin (22.5 deg)
+        d = min(abs(got - theta) % 180.0, 180.0 - abs(got - theta) % 180.0)
+        assert d <= 22.5 + 1e-9
+
+    def test_scale_selectivity(self):
+        res = jw.scattering2d(jnp.asarray(grating(0.0, xi=0.32)), J=3, L=8)
+        k = int(np.asarray(res.S1.mean(axis=(-2, -1))).argmax())
+        assert k // 8 == 0  # finest scale (xi_0 = 0.35)
+
+    def test_translation_invariance(self):
+        img = jnp.asarray(grating(45.0))
+        res = jw.scattering2d(img, J=3, L=8)
+        sh = jnp.roll(img, (3, 3), axis=(0, 1))
+        rs = jw.scattering2d(sh, J=3, L=8)
+        rel = float(jnp.linalg.norm(rs.features() - res.features())
+                    / jnp.linalg.norm(res.features()))
+        raw = float(jnp.linalg.norm(sh - img) / jnp.linalg.norm(img))
+        assert rel < 0.2 * raw
+
+    def test_batch_jit_grad_nonpow2(self, rng):
+        imgs = jnp.asarray(rng.standard_normal((2, 96, 96)))
+        rb = jw.scattering2d(imgs, J=2, L=4)
+        r0 = jw.scattering2d(imgs[0], J=2, L=4)
+        np.testing.assert_allclose(np.asarray(rb.S2[0]), np.asarray(r0.S2), atol=1e-12)
+        f = jax.jit(lambda a: jw.scattering2d(a, J=2, L=4).features())
+        np.testing.assert_allclose(np.asarray(f(imgs[0])),
+                                   np.asarray(r0.features()), atol=1e-12)
+        g = jax.grad(lambda a: jnp.sum(jw.scattering2d(a, J=2, L=4).features() ** 2))(imgs[0])
+        assert bool(jnp.all(jnp.isfinite(g)))
+        r_np2 = jw.scattering2d(jnp.asarray(rng.standard_normal((100, 120))), J=3, L=4)
+        assert r_np2.S1.shape == (12, 13, 15)
+
+    def test_pytree_and_guards(self):
+        res = jw.scattering2d(jnp.asarray(grating(0.0, h=64, w=64)), J=2, L=4)
+        leaves, treedef = jax.tree_util.tree_flatten(res)
+        back = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert np.array_equal(back.paths, res.paths)
+        with pytest.raises(jw.JWaveFailure):
+            jw.scattering2d(jnp.ones(16), J=2)
+        with pytest.raises(jw.JWaveFailure):
+            jw.scattering2d(jnp.ones((8, 8)), J=4)  # 2^4 > 8
+        with pytest.raises(jw.JWaveFailure):
+            jw.scattering2d(jnp.ones((64, 64), dtype=jnp.complex64), J=2)
