@@ -10,6 +10,8 @@ from .modwt import modwt, imodwt, modwt_1d, imodwt_1d, modwt_2d, imodwt_2d, modw
 from .cwt import cwt, cwt_chunked, cwt_direct, icwt, xwt, wavelet_coherence, CWTResult, generate_log_scales, generate_linear_scales, PaddingType
 from .ssq import ssq_cwt, issq_cwt, SSQResult, one_integral_constant, extract_ridge, ridge_tube_mask
 from .scattering import scattering1d, scattering_filter_bank, ScatteringResult, scattering2d, scattering_filter_bank_2d, Scattering2DResult
+from .vmd import vmd, VMDResult
+from .pursuit import matching_pursuit, gabor_dictionary, GaborDictionary, MPResult
 from .fft import bluestein_fft, fft, ifft, dft, idft, fft_interleaved, ifft_interleaved
 from .aed import aed_forward, aed_reverse
 from .shifting import shifting_forward, shifting_reverse
@@ -22,6 +24,8 @@ __all__ = [
     "cwt", "cwt_chunked", "cwt_direct", "icwt", "CWTResult", "generate_log_scales", "generate_linear_scales", "PaddingType",
     "scattering1d", "scattering_filter_bank", "ScatteringResult",
     "scattering2d", "scattering_filter_bank_2d", "Scattering2DResult",
+    "vmd", "VMDResult",
+    "matching_pursuit", "gabor_dictionary", "GaborDictionary", "MPResult",
     "fft", "ifft", "dft", "idft", "fft_interleaved", "ifft_interleaved",
     "aed_forward", "aed_reverse",
     "shifting_forward", "shifting_reverse",
