@@ -12,6 +12,7 @@ from .ssq import ssq_cwt, issq_cwt, SSQResult, one_integral_constant, extract_ri
 from .scattering import scattering1d, scattering_filter_bank, ScatteringResult, scattering2d, scattering_filter_bank_2d, Scattering2DResult
 from .vmd import vmd, VMDResult
 from .pursuit import matching_pursuit, gabor_dictionary, GaborDictionary, MPResult
+from .dtcwt import dtcwt, idtcwt, dtcwt2d, idtcwt2d, DTCWTResult, DTCWT2DResult
 from .fft import bluestein_fft, fft, ifft, dft, idft, fft_interleaved, ifft_interleaved
 from .aed import aed_forward, aed_reverse
 from .shifting import shifting_forward, shifting_reverse
@@ -26,6 +27,7 @@ __all__ = [
     "scattering2d", "scattering_filter_bank_2d", "Scattering2DResult",
     "vmd", "VMDResult",
     "matching_pursuit", "gabor_dictionary", "GaborDictionary", "MPResult",
+    "dtcwt", "idtcwt", "dtcwt2d", "idtcwt2d", "DTCWTResult", "DTCWT2DResult",
     "fft", "ifft", "dft", "idft", "fft_interleaved", "ifft_interleaved",
     "aed_forward", "aed_reverse",
     "shifting_forward", "shifting_reverse",
