@@ -13,6 +13,7 @@ from .scattering import scattering1d, scattering_filter_bank, ScatteringResult, 
 from .vmd import vmd, VMDResult
 from .pursuit import matching_pursuit, gabor_dictionary, GaborDictionary, MPResult
 from .dtcwt import dtcwt, idtcwt, dtcwt2d, idtcwt2d, DTCWTResult, DTCWT2DResult
+from .superlet import superlet
 from .fft import bluestein_fft, fft, ifft, dft, idft, fft_interleaved, ifft_interleaved
 from .aed import aed_forward, aed_reverse
 from .shifting import shifting_forward, shifting_reverse
@@ -28,6 +29,7 @@ __all__ = [
     "vmd", "VMDResult",
     "matching_pursuit", "gabor_dictionary", "GaborDictionary", "MPResult",
     "dtcwt", "idtcwt", "dtcwt2d", "idtcwt2d", "DTCWTResult", "DTCWT2DResult",
+    "superlet",
     "fft", "ifft", "dft", "idft", "fft_interleaved", "ifft_interleaved",
     "aed_forward", "aed_reverse",
     "shifting_forward", "shifting_reverse",
