@@ -45,16 +45,16 @@ from ..ops.butterfly import butterfly_forward, butterfly_reverse, ensure_float
 _SQRT2 = math.sqrt(2.0)
 
 
-def _check_args(n: int, levels: int, who: str):
+def _check_args(n: int, levels: int, who: str, axis: str = "last-axis"):
     if levels < 1:
         raise JWaveFailure(f"{who} - levels must be >= 1")
     if n % (1 << levels) != 0:
         raise JWaveFailure(
-            f"{who} - last-axis length {n} must be divisible by 2^levels = "
+            f"{who} - {axis} length {n} must be divisible by 2^levels = "
             f"{1 << levels}"
         )
     if n >> levels < 1:
-        raise JWaveFailure(f"{who} - {levels} levels exhaust length {n}")
+        raise JWaveFailure(f"{who} - {levels} levels exhaust {axis} length {n}")
 
 
 # --------------------------------------------------------------------------
@@ -185,9 +185,6 @@ class DTCWT2DResult:
         return len(self.highpasses)
 
 
-_ORIENT_DOC = ("subband order [+15, +45, +75, -75, -45, -15] degrees")
-
-
 _INV_SQRT2 = 1.0 / _SQRT2
 
 
@@ -220,15 +217,14 @@ def dtcwt2d(image, levels: int, level1_wavelet: str = "sym4") -> DTCWT2DResult:
         raise JWaveFailure("dtcwt2d - image must have at least 2 axes")
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         raise JWaveFailure("dtcwt2d - expected a real image")
-    _check_args(x.shape[-1], levels, "dtcwt2d")
-    _check_args(x.shape[-2], levels, "dtcwt2d")
+    _check_args(x.shape[-1], levels, "dtcwt2d", "width")
+    _check_args(x.shape[-2], levels, "dtcwt2d", "height")
     fb = get_filter(level1_wavelet)
     (h0a, h1a), (h0b, h1b) = qshift_filters()
     qa, qb = (h0a, h1a), (h0b, h1b)
 
     # ll[r][c]: lowpass image of (row-tree r, col-tree c)
     x_b_rows = jnp.roll(x, -1, axis=-2)
-    ll = {}
     highs = []
     h, w = x.shape[-2] // 2, x.shape[-1] // 2
     subs = {}

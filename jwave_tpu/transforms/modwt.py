@@ -635,10 +635,10 @@ def wavelet_log_spectrum(x, wavelet, level: int, unbiased: bool = True, **kw):
     Returns ``(log2_var, slope, intercept)`` with shapes ``(..., J)``,
     ``(...)``, ``(...)``.
     """
-    x = ensure_float(jnp.asarray(x))
-    var = modwt_variance(x, wavelet, level, unbiased=unbiased, **kw)
     if level < 2:
         raise JWaveFailure("wavelet_log_spectrum - need level >= 2 to fit a slope")
+    x = ensure_float(jnp.asarray(x))
+    var = modwt_variance(x, wavelet, level, unbiased=unbiased, **kw)
     n = x.shape[-1]
     m = get_filter(wavelet).length
     j = np.arange(1, level + 1, dtype=np.float64)
@@ -683,15 +683,22 @@ def hurst_exponent(x, wavelet="db4", level: int | None = None,
     m = get_filter(wavelet).length
     if level is None:
         level = 0
-        while level < 13:
-            l_next = (m - 1) * ((1 << (level + 1)) - 1) + 1
-            if n - (l_next - 1) < 16:
+        while level < MAX_DECOMPOSITION_LEVEL:
+            if unbiased:
+                # deepest level whose unbiased interior keeps >= 16 coeffs
+                l_next = (m - 1) * ((1 << (level + 1)) - 1) + 1
+                if n - (l_next - 1) < 16:
+                    break
+            elif (1 << (level + 1)) * 4 > n:
+                # biased estimator: just keep a few coefficients per
+                # effective scale so the deepest octave is estimable
                 break
             level += 1
         if level < 2:
             raise JWaveFailure(
-                f"hurst_exponent - signal too short for a level-2 unbiased "
-                f"fit with {m}-tap '{wavelet}' (N = {n})"
+                f"hurst_exponent - signal too short for a level-2 "
+                f"{'unbiased ' if unbiased else ''}fit with {m}-tap "
+                f"'{wavelet}' (N = {n})"
             )
     _, slope, _ = wavelet_log_spectrum(x, wavelet, level, unbiased=unbiased, **kw)
     return slope / 2.0 + 1.0 if kind == "fgn" else slope / 2.0

@@ -26,6 +26,7 @@ TPU-first formulation:
 """
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass
 
 import numpy as np
@@ -37,7 +38,7 @@ from ..exceptions import JWaveFailure
 from .fft import fft as _fft, ifft as _ifft
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class GaborDictionary:
     """Static periodized quadrature-pair dictionary on an N-grid.
 
@@ -45,7 +46,9 @@ class GaborDictionary:
     sample 0 (the sine partner of a pure-Gaussian pair is all zero).
     ``cross``: (P,) inner products <g_cos, g_sin> (shift-invariant).
     ``scale``/``freq``: (P,) Gaussian width (samples), frequency
-    (cycles/sample).
+    (cycles/sample). ``eq=False``: identity equality/hash, so the object
+    can ride pytree aux_data (array-valued ``__eq__`` would break jit's
+    treedef comparison).
     """
 
     cos_atoms: np.ndarray
@@ -55,7 +58,8 @@ class GaborDictionary:
     freq: np.ndarray
 
 
-_DICT_CACHE: dict = {}
+_DICT_CACHE: OrderedDict = OrderedDict()
+_DICT_CACHE_MAX = 4  # entries are large (hundreds of MB at N ~ 4096)
 
 
 def gabor_dictionary(n: int, scales=None, freqs_per_scale: int | None = None) -> GaborDictionary:
@@ -67,6 +71,7 @@ def gabor_dictionary(n: int, scales=None, freqs_per_scale: int | None = None) ->
     fixed-count linear grid."""
     key = (n, None if scales is None else tuple(scales), freqs_per_scale)
     if key in _DICT_CACHE:
+        _DICT_CACHE.move_to_end(key)
         return _DICT_CACHE[key]
     if scales is None:
         scales, s = [], 4
@@ -102,6 +107,8 @@ def gabor_dictionary(n: int, scales=None, freqs_per_scale: int | None = None) ->
                            np.asarray(sc, dtype=np.float64),
                            np.asarray(fr, dtype=np.float64))
     _DICT_CACHE[key] = bank
+    while len(_DICT_CACHE) > _DICT_CACHE_MAX:
+        _DICT_CACHE.popitem(last=False)
     return bank
 
 
@@ -114,7 +121,9 @@ class MPResult:
     cosine/sine projection coefficients, ``atom_idx`` (..., K) the pair
     row, ``positions`` (..., K) the circular shift (samples).
     ``residual``: (..., N); ``energies``: (..., K) residual energy after
-    each pick (non-increasing).
+    each pick (non-increasing). The static :class:`GaborDictionary` rides
+    the pytree's aux_data (NOT a leaf), so jit/vmap never trace or batch
+    the (P, N) atom tables.
     """
 
     alphas: jnp.ndarray
@@ -123,28 +132,29 @@ class MPResult:
     positions: jnp.ndarray
     residual: jnp.ndarray
     energies: jnp.ndarray
-    _cos: jnp.ndarray  # (P, N)
-    _sin: jnp.ndarray  # (P, N)
-    scale: np.ndarray
-    freq: np.ndarray
+    dictionary: GaborDictionary
 
     def tree_flatten(self):
         return (
             self.alphas, self.betas, self.atom_idx, self.positions,
-            self.residual, self.energies, self._cos, self._sin,
-        ), (self.scale.tobytes(), self.scale.shape,
-            self.freq.tobytes(), self.freq.shape)
+            self.residual, self.energies,
+        ), (self.dictionary,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        sb, ss, fb, fs = aux
-        return cls(*children,
-                   np.frombuffer(sb, dtype=np.float64).reshape(ss),
-                   np.frombuffer(fb, dtype=np.float64).reshape(fs))
+        return cls(*children, aux[0])
 
     @property
     def n_atoms(self) -> int:
         return self.alphas.shape[-1]
+
+    @property
+    def scale(self) -> np.ndarray:
+        return self.dictionary.scale
+
+    @property
+    def freq(self) -> np.ndarray:
+        return self.dictionary.freq
 
     @property
     def amplitudes(self):
@@ -154,12 +164,14 @@ class MPResult:
     def reconstruct(self, k: int | None = None):
         """Sum of the first ``k`` extracted components (all by default)."""
         k = self.n_atoms if k is None else k
-        n = self._cos.shape[-1]
+        cos_a = jnp.asarray(self.dictionary.cos_atoms, dtype=self.residual.dtype)
+        sin_a = jnp.asarray(self.dictionary.sin_atoms, dtype=self.residual.dtype)
+        n = cos_a.shape[-1]
         idx = (jnp.arange(n) - self.positions[..., :k, None]) % n
         c = jnp.take_along_axis(
-            jnp.take(self._cos, self.atom_idx[..., :k], axis=0), idx, axis=-1)
+            jnp.take(cos_a, self.atom_idx[..., :k], axis=0), idx, axis=-1)
         s = jnp.take_along_axis(
-            jnp.take(self._sin, self.atom_idx[..., :k], axis=0), idx, axis=-1)
+            jnp.take(sin_a, self.atom_idx[..., :k], axis=0), idx, axis=-1)
         return jnp.sum(self.alphas[..., :k, None] * c
                        + self.betas[..., :k, None] * s, axis=-2)
 
@@ -246,5 +258,4 @@ def matching_pursuit(
 
     resid, (al, be, aidx, pos, energy) = lax.scan(step, x, None, length=n_atoms)
     mv = lambda a: jnp.moveaxis(a, 0, -1)
-    return MPResult(mv(al), mv(be), mv(aidx), mv(pos), resid, mv(energy),
-                    cos_a, sin_a, bank.scale, bank.freq)
+    return MPResult(mv(al), mv(be), mv(aidx), mv(pos), resid, mv(energy), bank)

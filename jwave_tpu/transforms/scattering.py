@@ -85,7 +85,24 @@ class ScatteringBank:
     paths: np.ndarray  # (P2, 2) int — (k1 index, k2 index), xi2 < xi1
 
 
-_BANK_CACHE: dict = {}
+from collections import OrderedDict as _OrderedDict
+
+_BANK_CACHE: _OrderedDict = _OrderedDict()
+_BANK_CACHE_MAX = 8  # float64 banks run to tens of MB each
+
+
+def _bank_cache_put(key, bank):
+    _BANK_CACHE[key] = bank
+    while len(_BANK_CACHE) > _BANK_CACHE_MAX:
+        _BANK_CACHE.popitem(last=False)
+    return bank
+
+
+def _bank_cache_get(key):
+    if key in _BANK_CACHE:
+        _BANK_CACHE.move_to_end(key)
+        return _BANK_CACHE[key]
+    return None
 
 
 def scattering_filter_bank(padded: int, J: int, Q1: int, Q2: int = 1) -> ScatteringBank:
@@ -93,8 +110,9 @@ def scattering_filter_bank(padded: int, J: int, Q1: int, Q2: int = 1) -> Scatter
     point FFT grid. Positive AND negative frequency bins are evaluated so
     the bumps are genuinely analytic on the discrete grid."""
     key = (padded, J, Q1, Q2)
-    if key in _BANK_CACHE:
-        return _BANK_CACHE[key]
+    hit = _bank_cache_get(key)
+    if hit is not None:
+        return hit
     i = np.arange(padded, dtype=np.float64)
     freqs = i / padded
     freqs[i > padded // 2] -= 1.0  # [-0.5, 0.5) fold, cycles/sample
@@ -118,8 +136,7 @@ def scattering_filter_bank(padded: int, J: int, Q1: int, Q2: int = 1) -> Scatter
         dtype=np.int64,
     ).reshape(-1, 2)
     bank = ScatteringBank(psi1, psi2, phi, xi1, xi2, paths)
-    _BANK_CACHE[key] = bank
-    return bank
+    return _bank_cache_put(key, bank)
 
 
 # --------------------------------------------------------------------------
@@ -300,8 +317,9 @@ def scattering_filter_bank_2d(py: int, px: int, J: int, L: int) -> ScatteringBan
     L orientations over the upper half-plane (the modulus makes the lower
     half redundant for real images)."""
     key = ("2d", py, px, J, L)
-    if key in _BANK_CACHE:
-        return _BANK_CACHE[key]
+    hit = _bank_cache_get(key)
+    if hit is not None:
+        return hit
     iy = np.arange(py, dtype=np.float64)
     ix = np.arange(px, dtype=np.float64)
     gy = iy / py
@@ -333,8 +351,7 @@ def scattering_filter_bank_2d(py: int, px: int, J: int, L: int) -> ScatteringBan
         dtype=np.int64,
     ).reshape(-1, 2)
     bank = ScatteringBank2D(psi, phi, xi, thetas, paths)
-    _BANK_CACHE[key] = bank
-    return bank
+    return _bank_cache_put(key, bank)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -441,14 +458,13 @@ def scattering2d(
     psi2_of_path = psi[jnp.asarray(bank.paths[:, 1])]
 
     # mirror-pad both axes (reflection suppresses wrap across the far edge)
-    ext = jnp.concatenate([x, jnp.flip(x, axis=-1)], axis=-1)[..., :, :px]
-    if 2 * w < px:
-        ext = pad_signal(ext, px, PaddingType.PERIODIC)
-    ext2 = jnp.concatenate([ext, jnp.flip(ext, axis=-2)], axis=-2)[..., :py, :]
-    if 2 * h < py:
-        reps = -(-py // ext2.shape[-2])
-        ext2 = jnp.concatenate([ext2] * reps, axis=-2)[..., :py, :]
-    X = _fft2(ext2.astype(cdtype))
+    def mirror_extend(a, target, axis):
+        a = jnp.swapaxes(a, axis, -1)
+        ext = jnp.concatenate([a, jnp.flip(a, axis=-1)], axis=-1)[..., :target]
+        ext = pad_signal(ext, target, PaddingType.PERIODIC)
+        return jnp.swapaxes(ext, axis, -1)
+
+    X = _fft2(mirror_extend(mirror_extend(x, px, -1), py, -2).astype(cdtype))
 
     def lowpass(spec):
         y = _ifft2(spec * phi).real

@@ -77,26 +77,31 @@ def superlet(
 
     scales = 1.0 / freqs_np  # Morlet fc = 1: scale a analyzes f = 1/a
     eps = 1e-20
+    n_f = freqs_np.shape[0]
     log_acc = None
-    weight_sum = np.zeros(freqs_np.shape[0])
     for i in range(1, order_max + 1):
+        # only the frequencies whose adaptive order reaches i — static
+        # host-side subset, so each order transforms just the scales it
+        # contributes to (roughly halves the FFT work of the full grid)
+        idx = np.nonzero(orders >= i)[0]
+        if idx.size == 0:
+            continue
         cycles = base_cycles * i if multiplicative else base_cycles + i - 1
         # cycles c at frequency f: envelope sigma_t = c / (K_SD f); our
         # Morlet at scale a = 1/f has sigma_t = a sqrt(fb), so
         # fb = (c / K_SD)^2 (scale-independent)
         fb = (cycles / K_SD) ** 2
         wav = MorletWavelet(fb, 1.0)
-        w = cwt(signal, scales, wav, sampling_rate, padding).coefficients
+        w = cwt(signal, scales[idx], wav, sampling_rate, padding).coefficients
         # peak normalization: the FFT-path coefficients carry
         # sqrt(a) * psi_hat(a w) with psi_hat peak sqrt(2 pi fb); dividing
         # both out makes a matched unit tone read 1/2 at EVERY order and
         # EVERY frequency, so the geometric mean preserves matched peaks
-        gain = np.sqrt(scales) * math.sqrt(2.0 * math.pi * fb)
+        gain = np.sqrt(scales[idx]) * math.sqrt(2.0 * math.pi * fb)
         mag = jnp.abs(w) / jnp.asarray(gain[:, None], dtype=w.real.dtype)
-        active = (orders >= i).astype(np.float64)  # static 0/1 per freq
-        weight_sum += active
-        term = jnp.asarray(active[:, None], dtype=mag.dtype) * jnp.log(mag + eps)
-        log_acc = term if log_acc is None else log_acc + term
-    inv = jnp.asarray(1.0 / np.maximum(weight_sum, 1.0)[:, None],
-                      dtype=log_acc.dtype)
+        if log_acc is None:
+            log_acc = jnp.zeros(mag.shape[:-2] + (n_f, mag.shape[-1]),
+                                dtype=mag.dtype)
+        log_acc = log_acc.at[..., idx, :].add(jnp.log(mag + eps))
+    inv = jnp.asarray(1.0 / np.maximum(orders, 1)[:, None], dtype=log_acc.dtype)
     return jnp.exp(log_acc * inv)

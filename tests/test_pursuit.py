@@ -101,3 +101,15 @@ class TestComposability:
         with pytest.raises(jw.JWaveFailure):
             jw.matching_pursuit(jnp.ones(64), n_atoms=2,
                                 dictionary=gabor_dictionary(128))
+
+    def test_vmap_over_signals(self):
+        # regression: the dictionary rides aux_data, so vmap must not
+        # try to batch the (P, N) atom tables
+        x = jnp.asarray(mix())
+        xb = jnp.stack([x, jnp.roll(x, 50)])
+        rb = jax.vmap(lambda s: jw.matching_pursuit(s, n_atoms=3))(xb)
+        r0 = jw.matching_pursuit(x, n_atoms=3)
+        np.testing.assert_allclose(np.asarray(rb.alphas[0]), np.asarray(r0.alphas),
+                                   atol=1e-10)
+        rec = rb.reconstruct()
+        assert rec.shape == (2, N)

@@ -11,10 +11,13 @@ the filter: an orthonormal length-2K lowpass is parametrized EXACTLY by K
 paraunitary-lattice rotation angles (perfect reconstruction holds for any
 angles, to machine precision), and the angles are optimized for
 
-  J = w_gd * passband group-delay flatness around tau = K - 3/4
+  J = w_gd * group-delay flatness around tau = K - 3/4, |H|^4-weighted
+            through pass AND transition bands
     + w_sb * stopband energy (|H| above 0.6 pi)
-    + w_vm * vanishing moments (|H(pi)|^2 + |H'(pi)|^2)
+    + 50   * second-moment penalty |H'(pi)|^2
 
+on the exact-first-vanishing-moment manifold (the last lattice angle is
+pinned to pi/4 - sum(rest), which makes H(pi) = 0 to machine precision),
 with scipy BFGS from many random restarts. The winning angles/filters are
 embedded in jwave_tpu/filters/qshift.py; tests/test_dtcwt.py re-verifies
 orthonormality, the delay split, and the resulting Hilbert-pair
@@ -64,24 +67,6 @@ def _response(h, omega):
     H = ph @ h
     N = ph @ (n * h)
     return H, N
-
-
-def objective(thetas, k, w_gd=1.0, w_sb=3.0, w_vm=50.0):
-    h0, _ = lattice_filters(thetas)
-    if h0.sum() < 0:
-        h0 = -h0
-    tau = k - 0.75
-    om_pass = np.linspace(0.0, 0.40 * np.pi, 160)
-    om_stop = np.linspace(0.62 * np.pi, np.pi, 160)
-    Hp, Np = _response(h0, om_pass)
-    gd = np.real(Np / (Hp + 1e-12))
-    j_gd = np.mean((gd - tau) ** 2 * np.abs(Hp) ** 2)
-    Hs, _ = _response(h0, om_stop)
-    j_sb = np.mean(np.abs(Hs) ** 2)
-    Hpi = h0 @ (-1.0) ** np.arange(h0.shape[0])
-    dHpi = (np.arange(h0.shape[0]) * h0) @ (-1.0) ** np.arange(h0.shape[0])
-    j_vm = Hpi**2 + dHpi**2
-    return w_gd * j_gd + w_sb * j_sb + w_vm * j_vm
 
 
 def analyticity_db(h0, levels=5):
