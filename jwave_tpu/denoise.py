@@ -156,3 +156,88 @@ def denoise_2d(img, wavelet="db4", level: int = 3, mode: str = "soft",
     # keep the pure approximation band (J, J) untouched
     out = out.at[..., level, level, :].set(flat[..., level, level, :])
     return imodwt_2d(out.reshape(coeffs.shape), wavelet)
+
+
+def denoise_dtcwt(img, levels: int = 4, sigma=None, window: int = 7):
+    """Bivariate-shrinkage image denoising in the dual-tree complex wavelet
+    domain (Sendur & Selesnick 2002) — the DTCWT's flagship application.
+
+    Each oriented complex coefficient w is shrunk jointly with its parent
+    p (same location, next coarser level):
+
+        w <- w * max(0, r - sqrt(3) sigma_n^2 / sigma_local) / r,
+        r = sqrt(|w|^2 + |p|^2)
+
+    where ``sigma_local`` is the signal scale estimated from a
+    ``window x window`` neighborhood of |w|^2 (marginal variance minus the
+    noise floor) — the MAP estimator under the bivariate Laplacian
+    parent-child prior. Because the dual tree is near shift-invariant,
+    the result avoids the ringing a critically-sampled DWT produces.
+
+    Args:
+      img: (..., H, W) real image(s), H and W divisible by ``2^levels``.
+      levels: decomposition depth.
+      sigma: noise standard deviation; None = MAD estimate from the
+        finest-level oriented bands.
+      window: local-variance neighborhood (odd).
+
+    Returns the denoised image(s); phase is preserved exactly (shrinkage
+    scales magnitudes only). Citation anchor: the reference library has no
+    denoising at all — this extends the denoise family (VisuShrink/SURE/
+    Bayes, denoise.py) with the oriented, shift-invariant variant.
+    """
+    from .transforms.dtcwt import DTCWT2DResult, dtcwt2d, idtcwt2d
+
+    if window < 1 or window % 2 == 0:
+        raise JWaveFailure("denoise_dtcwt - window must be a positive odd int")
+    res = dtcwt2d(img, levels)
+    highs = res.highpasses
+    if sigma is None:
+        fine = highs[0]
+        flat = jnp.abs(fine.real).reshape(fine.shape[:-3] + (-1,))
+        sigma = jnp.median(flat, axis=-1) / 0.6745
+    sigma = jnp.asarray(sigma)
+    # noise power PER COMPLEX coefficient: the oriented packing is unitary
+    # over the four orthonormal trees, so E|z_noise|^2 = 2 sigma^2 (each of
+    # the real/imag parts carries sigma^2) — using sigma^2 here would
+    # under-shrink by ~3.5 dB PSNR (measured)
+    sig2 = (2.0 * sigma**2)[..., None, None, None]
+
+    def local_power(mag2):
+        """window x window mean of |w|^2 (separable box filter, edge-
+        clamped by renormalization)."""
+        k = window // 2
+
+        # cumulative-sum box filter along each axis
+        def box_axis(a, axis):
+            a = jnp.moveaxis(a, axis, -1)
+            c = jnp.cumsum(a, axis=-1)
+            zero = jnp.zeros_like(c[..., :1])
+            c = jnp.concatenate([zero, c], axis=-1)
+            n = a.shape[-1]
+            i = jnp.arange(n)
+            hi = jnp.minimum(i + k + 1, n)
+            lo = jnp.maximum(i - k, 0)
+            s = jnp.take(c, hi, axis=-1) - jnp.take(c, lo, axis=-1)
+            s = s / (hi - lo)
+            return jnp.moveaxis(s, -1, axis)
+        return box_axis(box_axis(mag2, -1), -2)
+
+    new_highs = []
+    n_levels = len(highs)
+    for j, w in enumerate(highs):
+        mag2 = jnp.abs(w) ** 2
+        if j + 1 < n_levels:
+            parent = highs[j + 1]
+            pm = jnp.abs(parent)
+            # nearest-neighbor upsample the parent magnitude to the child grid
+            pm = jnp.repeat(jnp.repeat(pm, 2, axis=-2), 2, axis=-1)
+            pm = pm[..., : w.shape[-2], : w.shape[-1]]
+        else:
+            pm = jnp.zeros_like(jnp.abs(w))
+        r = jnp.sqrt(mag2 + pm**2) + 1e-30
+        sig_local = jnp.sqrt(jnp.maximum(local_power(mag2) - sig2, 1e-30))
+        shrink = jnp.maximum(r - math.sqrt(3.0) * sig2 / sig_local, 0.0) / r
+        new_highs.append(w * shrink)
+    return idtcwt2d(DTCWT2DResult(tuple(new_highs), res.lowpasses,
+                                  res.level1_wavelet))
