@@ -106,12 +106,49 @@ def pallas_smoke():
             "sha256_coeffs_r4": digest, "shape": [8, 1024], "wavelet": "db4", "level": 3}
 
 
+def _acquire_device(retries: int = 2, wait_s: float = 300.0):
+    """Get the first device, retrying on relay-init failures.
+
+    The tunneled TPU backend intermittently fails initialization with
+    UNAVAILABLE (observed 2026-08-18: ~40 min per failed attempt); a
+    bounded retry lets the bench survive a transient outage instead of
+    reporting nothing. On final failure, emit a diagnostic JSON line so
+    the failure mode is recorded, then re-raise.
+    """
+    import json as _json
+    import time as _time
+
+    import jax
+
+    last = None
+    for attempt in range(retries):
+        try:
+            return jax.devices()[0]
+        except Exception as e:  # backend init failure — retry after a wait
+            last = e
+            print(_json.dumps({
+                "device_init_retry": attempt + 1,
+                "error": f"{type(e).__name__}: {str(e)[:200]}",
+            }), flush=True)
+            if attempt + 1 < retries:
+                _time.sleep(wait_s)
+    print(_json.dumps({
+        "metric": "MODWT-db4-L5 throughput per chip",
+        "value": 0.0,
+        "unit": "Msamples/s",
+        "vs_baseline": 0.0,
+        "error": f"device init failed after {retries} attempts: "
+                 f"{type(last).__name__}: {str(last)[:300]}",
+    }), flush=True)
+    raise last
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import jwave_tpu as jw
 
-    dev = jax.devices()[0]
+    dev = _acquire_device()
     rng = np.random.default_rng(0)
     details = {"device": str(dev), "dtype": "float32"}
 
