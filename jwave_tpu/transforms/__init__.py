@@ -5,7 +5,7 @@ coeffs`` over the last axis (or last 2/3 axes for separable nD), batched
 over all leading axes. Class facades live in :mod:`jwave_tpu.api`.
 """
 from .fwt import fwt, ifwt, fwt_max_level, fwt_decompose, fwt_recompose, fwt_split, fwt_merge
-from .wpt import BestBasis, best_basis, best_basis_reconstruct, iwpt, wpt
+from .wpt import BestBasis, best_basis, best_basis_reconstruct, BestBasis2D, best_basis_2d, best_basis_2d_reconstruct, iwpt, wpt
 from .modwt import modwt, imodwt, modwt_1d, imodwt_1d, modwt_2d, imodwt_2d, modwt_mra, modwt_mra_2d, modwt_variance, modwt_variance_ci, modwt_covariance, modwt_correlation, wavelet_log_spectrum, hurst_exponent, ConvolutionMethod
 from .cwt import cwt, cwt_chunked, cwt_direct, icwt, xwt, wavelet_coherence, CWTResult, generate_log_scales, generate_linear_scales, PaddingType
 from .ssq import ssq_cwt, issq_cwt, SSQResult, one_integral_constant, extract_ridge, ridge_tube_mask
@@ -14,6 +14,7 @@ from .vmd import vmd, VMDResult
 from .pursuit import matching_pursuit, gabor_dictionary, GaborDictionary, MPResult
 from .dtcwt import dtcwt, idtcwt, dtcwt2d, idtcwt2d, DTCWTResult, DTCWT2DResult
 from .superlet import superlet
+from .analytic import analytic_signal, envelope, instantaneous_frequency
 from .fft import bluestein_fft, fft, ifft, dft, idft, fft_interleaved, ifft_interleaved
 from .aed import aed_forward, aed_reverse
 from .shifting import shifting_forward, shifting_reverse
@@ -30,6 +31,7 @@ __all__ = [
     "matching_pursuit", "gabor_dictionary", "GaborDictionary", "MPResult",
     "dtcwt", "idtcwt", "dtcwt2d", "idtcwt2d", "DTCWTResult", "DTCWT2DResult",
     "superlet",
+    "analytic_signal", "envelope", "instantaneous_frequency",
     "fft", "ifft", "dft", "idft", "fft_interleaved", "ifft_interleaved",
     "aed_forward", "aed_reverse",
     "shifting_forward", "shifting_reverse",

@@ -249,3 +249,163 @@ def best_basis_reconstruct(bb: BestBasis, wavelet=None):
     if max_level == 0:
         return table[(0, 0)]
     return _rebuild(0, 0)
+
+
+def _butterfly2_fwd(block, fb):
+    """Separable 2D analysis butterfly on the last two axes: each (h, w)
+    block becomes the quadrant layout [[LL, LH], [HL, HH]] ([L|H] per
+    axis)."""
+    import jax.numpy as jnp
+
+    y = butterfly_forward(block, fb.dec_lo, fb.dec_hi)
+    y = jnp.swapaxes(y, -1, -2)
+    y = butterfly_forward(y, fb.dec_lo, fb.dec_hi)
+    return jnp.swapaxes(y, -1, -2)
+
+
+def _butterfly2_rev(block, fb):
+    import jax.numpy as jnp
+
+    y = jnp.swapaxes(block, -1, -2)
+    y = butterfly_reverse(y, fb.rec_lo, fb.rec_hi, fb.recon_gain)
+    y = jnp.swapaxes(y, -1, -2)
+    return butterfly_reverse(y, fb.rec_lo, fb.rec_hi, fb.recon_gain)
+
+
+def _node_costs_2d(tree, cost: str, threshold: float):
+    """(..., B, B, h, w) packet grid -> (B, B) host cost matrix (summed
+    over leading axes; same additive costs as the 1D best basis)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    b1, b2, h, w = tree.shape[-4:]
+    blocks = tree.reshape((-1, b1 * b2, h * w))
+    if cost == "shannon":
+        c2 = blocks * blocks
+        vals = -jnp.sum(jnp.where(c2 > 0, c2 * jnp.log(jnp.maximum(c2, 1e-300)), 0.0), axis=-1)
+    elif cost == "threshold":
+        vals = jnp.sum((jnp.abs(blocks) > threshold).astype(blocks.dtype), axis=-1)
+    elif cost == "l1":
+        vals = jnp.sum(jnp.abs(blocks), axis=-1)
+    else:
+        raise JWaveFailure(
+            f"best_basis_2d - unknown cost {cost!r} (use 'shannon', 'threshold' or 'l1')"
+        )
+    return np.asarray(jnp.sum(vals, axis=0), dtype=float).reshape(b1, b2)
+
+
+@_dc.dataclass
+class BestBasis2D:
+    """A chosen 2D wavelet-packet basis: disjoint quadtree nodes covering
+    the image plane. ``nodes`` are (level, py, px) triples;
+    ``coefficients[i]`` is node i's (…, H/2^l, W/2^l) packet block."""
+
+    nodes: list
+    coefficients: list
+    cost: float
+    shape: tuple
+    wavelet: str
+
+
+def best_basis_2d(img, wavelet, max_level: int | None = None, cost: str = "shannon",
+                  threshold: float = 0.0) -> BestBasis2D:
+    """Coifman–Wickerhauser best basis over the 2D wavelet-packet QUADTREE.
+
+    The 2D analog of :func:`best_basis`: the full packet quadtree is one
+    separable batched butterfly pass per level (every node of a level in
+    one kernel), each node scored with an additive cost, and the minimal
+    disjoint cover picked by the bottom-up dynamic program (a node
+    survives iff its cost beats its four children's best covers). For
+    batched images one shared basis is chosen from summed costs.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    fb = get_filter(wavelet)
+    x = jnp.asarray(img)
+    if x.ndim < 2:
+        raise JWaveFailure("best_basis_2d - image must have at least 2 axes")
+    h, w = x.shape[-2:]
+    if not (is_power_of_two(h) and is_power_of_two(w)):
+        raise JWaveFailure(f"best_basis_2d - shape {h}x{w} is not 2^p x 2^q")
+    steps = min(exponent_of_two(h), exponent_of_two(w))
+    if max_level is None:
+        max_level = steps
+    if max_level < 0:
+        raise JWaveFailure(f"best_basis_2d - max_level {max_level} out of range")
+    max_level = min(max_level, steps)
+    lead = x.shape[:-2]
+
+    # full quadtree: tree[l] has shape lead + (2^l, 2^l, h/2^l, w/2^l)
+    tree = [x[..., None, None, :, :]]
+    cur = tree[0]
+    for l in range(max_level):
+        hh, ww = cur.shape[-2], cur.shape[-1]
+        if min(hh, ww) < fb.transform_wavelength:
+            max_level = l
+            break
+        y = _butterfly2_fwd(cur, fb)
+        b = cur.shape[-4]
+        h2, w2 = hh // 2, ww // 2
+        y = y.reshape(lead + (b, b, 2, h2, 2, w2))
+        y = jnp.moveaxis(y, -4, -5)  # (..., b_y, q_y, b_x, h2, q_x, w2)
+        y = jnp.moveaxis(y, -2, -3)  # (..., b_y, q_y, b_x, q_x, h2, w2)
+        cur = y.reshape(lead + (2 * b, 2 * b, h2, w2))
+        tree.append(cur)
+
+    costs = [_node_costs_2d(tree[l], cost, threshold) for l in range(max_level + 1)]
+
+    best = costs[max_level].copy()
+    keep = [None] * (max_level + 1)
+    keep[max_level] = np.ones((1 << max_level, 1 << max_level), dtype=bool)
+    for l in range(max_level - 1, -1, -1):
+        nxt = best
+        best = costs[l].copy()
+        keep_l = np.ones((1 << l, 1 << l), dtype=bool)
+        for py in range(1 << l):
+            for px in range(1 << l):
+                children = (nxt[2 * py, 2 * px] + nxt[2 * py, 2 * px + 1]
+                            + nxt[2 * py + 1, 2 * px] + nxt[2 * py + 1, 2 * px + 1])
+                if costs[l][py, px] > children:
+                    keep_l[py, px] = False
+                    best[py, px] = children
+        keep[l] = keep_l
+
+    nodes = []
+
+    def _collect(l, py, px):
+        if l == max_level or keep[l][py, px]:
+            nodes.append((l, py, px))
+        else:
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    _collect(l + 1, 2 * py + dy, 2 * px + dx)
+
+    _collect(0, 0, 0)
+    coefficients = [tree[l][..., py, px, :, :] for l, py, px in nodes]
+    return BestBasis2D(nodes=nodes, coefficients=coefficients,
+                       cost=float(best[0, 0]), shape=(h, w), wavelet=fb.name)
+
+
+def best_basis_2d_reconstruct(bb: BestBasis2D, wavelet=None):
+    """Invert a :class:`BestBasis2D` back to the image (exact)."""
+    import jax.numpy as jnp
+
+    fb = get_filter(wavelet if wavelet is not None else bb.wavelet)
+    table = {node: jnp.asarray(c) for node, c in zip(bb.nodes, bb.coefficients)}
+    max_level = max((l for l, _, _ in bb.nodes), default=0)
+
+    def _rebuild(l, py, px):
+        if (l, py, px) in table:
+            return table[(l, py, px)]
+        if l >= max_level:
+            raise JWaveFailure("best_basis_2d_reconstruct - node cover is not disjoint/complete")
+        ll = _rebuild(l + 1, 2 * py, 2 * px)
+        lh = _rebuild(l + 1, 2 * py, 2 * px + 1)
+        hl = _rebuild(l + 1, 2 * py + 1, 2 * px)
+        hh = _rebuild(l + 1, 2 * py + 1, 2 * px + 1)
+        top = jnp.concatenate([ll, lh], axis=-1)
+        bot = jnp.concatenate([hl, hh], axis=-1)
+        return _butterfly2_rev(jnp.concatenate([top, bot], axis=-2), fb)
+
+    return _rebuild(0, 0, 0)

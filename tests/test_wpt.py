@@ -121,3 +121,52 @@ class TestBestBasis:
         bb_noise = best_basis(x, "db4", 6)
         bb_tone = best_basis(tone, "db4", 6)
         assert len(bb_noise.nodes) <= len(bb_tone.nodes) * 2
+
+
+class TestBestBasis2D:
+    @staticmethod
+    def _scene():
+        h = w = 64
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        return jnp.asarray(np.where((yy < 32) & (xx < 32),
+                                    np.sin(2 * np.pi * 0.25 * xx), 0.05 * xx / 64))
+
+    def test_perfect_reconstruction(self):
+        x = self._scene()
+        bb = jw.best_basis_2d(x, "db4", max_level=3)
+        np.testing.assert_allclose(np.asarray(jw.best_basis_2d_reconstruct(bb)),
+                                   np.asarray(x), atol=1e-10)
+        # nodes form a disjoint cover of the plane
+        area = sum((64 >> l) * (64 >> l) for l, _, _ in bb.nodes)
+        assert area == 64 * 64
+
+    def test_cost_beats_or_matches_root(self):
+        x = self._scene()
+        from jwave_tpu.transforms.wpt import _node_costs_2d
+        bb = jw.best_basis_2d(x, "db4", max_level=3)
+        root = _node_costs_2d(x[None, None, :, :][..., None, None, :, :].squeeze(0).squeeze(0),
+                              "shannon", 0.0)[0, 0] if False else \
+            _node_costs_2d(x[..., None, None, :, :], "shannon", 0.0)[0, 0]
+        assert bb.cost <= root + 1e-9
+
+    def test_adaptive_split(self):
+        # textured quadrant forces deeper splits than max_level-0 cover
+        bb = jw.best_basis_2d(self._scene(), "db4", max_level=3)
+        levels = {l for l, _, _ in bb.nodes}
+        assert max(levels) >= 2
+
+    @pytest.mark.parametrize("wav,cost", [("Haar", "shannon"), ("sym4", "l1"),
+                                          ("db4", "threshold")])
+    def test_random_roundtrip(self, wav, cost, rng):
+        x = jnp.asarray(rng.standard_normal((2, 32, 32)))
+        bb = jw.best_basis_2d(x, wav, max_level=3, cost=cost, threshold=0.5)
+        np.testing.assert_allclose(np.asarray(jw.best_basis_2d_reconstruct(bb)),
+                                   np.asarray(x), atol=1e-10)
+
+    def test_guards(self):
+        with pytest.raises(jw.JWaveFailure):
+            jw.best_basis_2d(jnp.ones((60, 64)), "db4")
+        with pytest.raises(jw.JWaveFailure):
+            jw.best_basis_2d(jnp.ones(64), "db4")
+        with pytest.raises(jw.JWaveFailure):
+            jw.best_basis_2d(jnp.ones((32, 32)), "db4", cost="gini")
