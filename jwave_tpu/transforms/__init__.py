@@ -15,6 +15,7 @@ from .pursuit import matching_pursuit, gabor_dictionary, GaborDictionary, MPResu
 from .dtcwt import dtcwt, idtcwt, dtcwt2d, idtcwt2d, DTCWTResult, DTCWT2DResult
 from .superlet import superlet
 from .analytic import analytic_signal, envelope, instantaneous_frequency
+from .ewt import ewt, iewt, ewt_boundaries, ewt_filter_bank, EWTResult
 from .fft import bluestein_fft, fft, ifft, dft, idft, fft_interleaved, ifft_interleaved
 from .aed import aed_forward, aed_reverse
 from .shifting import shifting_forward, shifting_reverse
@@ -32,6 +33,7 @@ __all__ = [
     "dtcwt", "idtcwt", "dtcwt2d", "idtcwt2d", "DTCWTResult", "DTCWT2DResult",
     "superlet",
     "analytic_signal", "envelope", "instantaneous_frequency",
+    "ewt", "iewt", "ewt_boundaries", "ewt_filter_bank", "EWTResult",
     "fft", "ifft", "dft", "idft", "fft_interleaved", "ifft_interleaved",
     "aed_forward", "aed_reverse",
     "shifting_forward", "shifting_reverse",
