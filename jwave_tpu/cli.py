@@ -52,6 +52,10 @@ def _list() -> int:
         flags = "" if fb.junit_passing else "  [no perfect reconstruction in reference tests]"
         print(f"  {name:<22} ({fb.length:>2} taps){flags}")
     print("\ncontinuous wavelets: Morlet, Mexican Hat, Paul, DOG, Meyer, Morse")
+    print("\nanalysis API (import jwave_tpu): ssq_cwt, superlet, scattering1d/2d,")
+    print("  vmd, ewt, matching_pursuit, dtcwt/dtcwt2d, denoise/denoise_dtcwt,")
+    print("  modwt_mra, modwt_variance, hurst_exponent, best_basis(_2d),")
+    print("  xwt/wavelet_coherence, analytic_signal/instantaneous_frequency")
     return 0
 
 
