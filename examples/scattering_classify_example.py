@@ -1,0 +1,105 @@
+"""Scattering features in an ML pipeline: classify signals end to end.
+
+The scattering transform's purpose is feeding classifiers: translation-
+invariant, deformation-stable features that make simple models work.
+This example builds a 3-class synthetic audio-like dataset — AM signals
+classed by MODULATION RATE, with the carrier frequency randomized per
+sample so the first-order spectrum (whose sidebands just track the
+carrier) carries no class information. Order-2 scattering reads the
+modulation rate directly; a linear softmax classifier (optax) on its
+features separates the classes where the same classifier on the raw
+spectrum sits near chance. The whole pipeline — scattering included —
+is jitted and differentiable, so the same code extends to training
+anything upstream of the features.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+import jwave_tpu as jw
+
+FS = 4000.0
+N = 2048
+CLASSES = (4.0, 12.0, 30.0)  # AM modulation rates (Hz); same 400 Hz carrier
+
+
+def make_dataset(rng, per_class=40):
+    t = np.arange(N) / FS
+    xs, ys = [], []
+    for label, fm in enumerate(CLASSES):
+        for _ in range(per_class):
+            phase = rng.uniform(0, 2 * np.pi)
+            shift = rng.integers(0, N)  # random circular time shift
+            fc = rng.uniform(300.0, 600.0)  # carrier is uninformative
+            am = (1 + 0.8 * np.cos(2 * np.pi * fm * t + phase))
+            sig = am * np.cos(2 * np.pi * fc * t + rng.uniform(0, 2 * np.pi))
+            sig = np.roll(sig, shift) + 0.3 * rng.standard_normal(N)
+            xs.append(sig), ys.append(label)
+    order = rng.permutation(len(xs))
+    return np.stack(xs)[order], np.asarray(ys)[order]
+
+
+def main():
+    rng = np.random.default_rng(0)
+    x, y = make_dataset(rng)
+    split = int(0.7 * len(x))
+    x_tr, y_tr = jnp.asarray(x[:split]), jnp.asarray(y[:split])
+    x_te, y_te = jnp.asarray(x[split:]), jnp.asarray(y[split:])
+
+    # carrier-invariant pooling: time-average every band, then marginalize
+    # the second order over its FIRST index (the carrier band k1), keeping
+    # the modulation-band k2 profile — the classic frequency-averaged
+    # scattering feature for transposition-invariant classification
+    probe = jw.scattering1d(jnp.zeros(N), J=9, Q=4, sampling_rate=FS)
+    k2_of_path = probe.paths[:, 1]
+    k2_values = np.unique(k2_of_path)
+    pool = np.zeros((len(k2_of_path), len(k2_values)))
+    for col, k2 in enumerate(k2_values):
+        pool[k2_of_path == k2, col] = 1.0
+    pool_m = jnp.asarray(pool)
+
+    @jax.jit
+    def features(sig):
+        res = jw.scattering1d(sig, J=9, Q=4, sampling_rate=FS)
+        s1 = jnp.log1p(res.S1.mean(axis=-1)).mean(axis=-1, keepdims=True)
+        s2 = jnp.log1p(res.S2.mean(axis=-1) @ pool_m)  # sum over carriers
+        f = jnp.concatenate([s1, s2], axis=-1)
+        return (f - f.mean(axis=-1, keepdims=True)) / (f.std(axis=-1, keepdims=True) + 1e-6)
+
+    f_tr, f_te = features(x_tr), features(x_te)
+    dim = f_tr.shape[-1]
+    params = {"w": jnp.zeros((dim, len(CLASSES))), "b": jnp.zeros(len(CLASSES))}
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+
+    def loss_fn(p, f, yy):
+        logits = f @ p["w"] + p["b"]
+        return optax.softmax_cross_entropy_with_integer_labels(logits, yy).mean()
+
+    @jax.jit
+    def step(p, s, f, yy):
+        loss, g = jax.value_and_grad(loss_fn)(p, f, yy)
+        updates, s = opt.update(g, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    for epoch in range(200):
+        params, state, loss = step(params, state, f_tr, y_tr)
+    acc = float((jnp.argmax(f_te @ params["w"] + params["b"], axis=-1) == y_te).mean())
+    print(f"scattering features: {dim} bands; final train loss {float(loss):.3f}")
+    print(f"test accuracy on shifted noisy AM classes: {acc:.2%}")
+
+    # the baseline that fails: time-averaged power spectrum can't see the
+    # modulation rate (it lives in the envelope, not the spectrum)
+    spec_tr = jnp.log1p(jnp.abs(jnp.fft.rfft(x_tr))[..., : N // 8])
+    spec_te = jnp.log1p(jnp.abs(jnp.fft.rfft(x_te))[..., : N // 8])
+    pb = {"w": jnp.zeros((spec_tr.shape[-1], len(CLASSES))), "b": jnp.zeros(len(CLASSES))}
+    sb = opt.init(pb)
+    for epoch in range(200):
+        pb, sb, _ = step(pb, sb, spec_tr, y_tr)
+    acc_spec = float((jnp.argmax(spec_te @ pb["w"] + pb["b"], axis=-1) == y_te).mean())
+    print(f"raw-spectrum baseline accuracy: {acc_spec:.2%} (chance = 33%)")
+
+
+if __name__ == "__main__":
+    main()
