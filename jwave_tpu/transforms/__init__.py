@@ -16,6 +16,7 @@ from .dtcwt import dtcwt, idtcwt, dtcwt2d, idtcwt2d, DTCWTResult, DTCWT2DResult
 from .superlet import superlet
 from .analytic import analytic_signal, envelope, instantaneous_frequency
 from .ewt import ewt, iewt, ewt_boundaries, ewt_filter_bank, EWTResult
+from .wvd import wigner_ville
 from .fft import bluestein_fft, fft, ifft, dft, idft, fft_interleaved, ifft_interleaved
 from .aed import aed_forward, aed_reverse
 from .shifting import shifting_forward, shifting_reverse
@@ -34,6 +35,7 @@ __all__ = [
     "superlet",
     "analytic_signal", "envelope", "instantaneous_frequency",
     "ewt", "iewt", "ewt_boundaries", "ewt_filter_bank", "EWTResult",
+    "wigner_ville",
     "fft", "ifft", "dft", "idft", "fft_interleaved", "ifft_interleaved",
     "aed_forward", "aed_reverse",
     "shifting_forward", "shifting_reverse",
