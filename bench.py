@@ -132,13 +132,11 @@ def _acquire_device(retries: int = 2, wait_s: float = 300.0):
             }), flush=True)
             if attempt + 1 < retries:
                 _time.sleep(wait_s)
+    # error-only line: no metric/value keys, so a consumer grepping for
+    # the headline metric sees a MISSING measurement, not a zero one
     print(_json.dumps({
-        "metric": "MODWT-db4-L5 throughput per chip",
-        "value": 0.0,
-        "unit": "Msamples/s",
-        "vs_baseline": 0.0,
-        "error": f"device init failed after {retries} attempts: "
-                 f"{type(last).__name__}: {str(last)[:300]}",
+        "bench_error": f"device init failed after {retries} attempts: "
+                       f"{type(last).__name__}: {str(last)[:300]}",
     }), flush=True)
     raise last
 

@@ -21,7 +21,7 @@ import jwave_tpu as jw
 
 FS = 4000.0
 N = 2048
-CLASSES = (4.0, 12.0, 30.0)  # AM modulation rates (Hz); same 400 Hz carrier
+CLASSES = (4.0, 12.0, 30.0)  # AM modulation rates (Hz); carrier randomized
 
 
 def make_dataset(rng, per_class=40):

@@ -45,15 +45,16 @@ def ewt_boundaries(signal, n_modes: int, min_separation: int | None = None) -> n
     between consecutive maxima — ``n_modes - 1`` boundaries in (0, pi).
     """
     x = np.asarray(signal)
-    if x.ndim > 1:
-        x = x.reshape(-1, x.shape[-1]).mean(axis=0)  # pooled spectrum
     n = x.shape[-1]
     if n_modes < 1:
         raise JWaveFailure("ewt_boundaries - n_modes must be >= 1")
     if n_modes == 1:
         return np.empty(0)
     half = n // 2
-    mag = np.abs(np.fft.rfft(x))[1 : half + 1]  # bins 1..half
+    # pool the MAGNITUDE spectra across batch rows (a time-domain mean
+    # would cancel phase-incoherent components instead of pooling them)
+    spec = np.abs(np.fft.rfft(x.reshape(-1, n), axis=-1)).sum(axis=0)
+    mag = spec[1 : half + 1]  # bins 1..half
     if min_separation is None:
         min_separation = max(2, half // (8 * n_modes))
     # greedy peak picking with exclusion radius
@@ -131,6 +132,13 @@ class EWTResult:
     modes: jnp.ndarray
     boundaries: np.ndarray
 
+    def __post_init__(self):
+        # normalize so hand-built results (lists, float32 arrays) survive
+        # the float64 tobytes/frombuffer pytree round trip
+        self.boundaries = np.sort(
+            np.atleast_1d(np.asarray(self.boundaries, dtype=np.float64))
+        )
+
     def tree_flatten(self):
         return (self.modes,), (self.boundaries.tobytes(), self.boundaries.shape)
 
@@ -174,8 +182,7 @@ def ewt(signal, n_modes: int | None = None, boundaries=None) -> EWTResult:
     filt = jnp.asarray(bank, dtype=cdtype)
     spec = _fft(x.astype(cdtype))
     modes = _ifft(spec[..., None, :] * filt).real.astype(x.dtype)
-    return EWTResult(modes, np.sort(np.atleast_1d(np.asarray(boundaries,
-                                                             dtype=np.float64))))
+    return EWTResult(modes, boundaries)  # __post_init__ normalizes
 
 
 def iewt(result: EWTResult) -> jnp.ndarray:

@@ -113,14 +113,13 @@ def iwpt(y, wavelet, level: int | None = None, fused: bool = True):
 import dataclasses as _dc
 
 
-def _node_costs(row, level: int, cost: str, threshold: float):
-    """Additive cost of every packet node at ``level`` from the full WPT row
-    (..., N): returns (2^level,) host floats (summed over leading axes)."""
+def _block_costs(blocks, cost: str, threshold: float, who: str):
+    """Additive per-block cost of a (B, nodes, block_len) stack, summed over
+    the leading batch axis — the shared kernel of the 1D and 2D best-basis
+    selectors. Returns (nodes,) host floats."""
     import numpy as np
     import jax.numpy as jnp
 
-    n = row.shape[-1]
-    blocks = row.reshape((-1, 1 << level, n >> level))
     if cost == "shannon":
         c2 = blocks * blocks
         vals = -jnp.sum(jnp.where(c2 > 0, c2 * jnp.log(jnp.maximum(c2, 1e-300)), 0.0), axis=-1)
@@ -129,8 +128,16 @@ def _node_costs(row, level: int, cost: str, threshold: float):
     elif cost == "l1":
         vals = jnp.sum(jnp.abs(blocks), axis=-1)
     else:
-        raise JWaveFailure(f"best_basis - unknown cost {cost!r} (use 'shannon', 'threshold' or 'l1')")
+        raise JWaveFailure(f"{who} - unknown cost {cost!r} (use 'shannon', 'threshold' or 'l1')")
     return np.asarray(jnp.sum(vals, axis=0), dtype=float)
+
+
+def _node_costs(row, level: int, cost: str, threshold: float):
+    """Additive cost of every packet node at ``level`` from the full WPT row
+    (..., N): returns (2^level,) host floats (summed over leading axes)."""
+    n = row.shape[-1]
+    blocks = row.reshape((-1, 1 << level, n >> level))
+    return _block_costs(blocks, cost, threshold, "best_basis")
 
 
 @_dc.dataclass
@@ -275,23 +282,9 @@ def _butterfly2_rev(block, fb):
 def _node_costs_2d(tree, cost: str, threshold: float):
     """(..., B, B, h, w) packet grid -> (B, B) host cost matrix (summed
     over leading axes; same additive costs as the 1D best basis)."""
-    import numpy as np
-    import jax.numpy as jnp
-
     b1, b2, h, w = tree.shape[-4:]
     blocks = tree.reshape((-1, b1 * b2, h * w))
-    if cost == "shannon":
-        c2 = blocks * blocks
-        vals = -jnp.sum(jnp.where(c2 > 0, c2 * jnp.log(jnp.maximum(c2, 1e-300)), 0.0), axis=-1)
-    elif cost == "threshold":
-        vals = jnp.sum((jnp.abs(blocks) > threshold).astype(blocks.dtype), axis=-1)
-    elif cost == "l1":
-        vals = jnp.sum(jnp.abs(blocks), axis=-1)
-    else:
-        raise JWaveFailure(
-            f"best_basis_2d - unknown cost {cost!r} (use 'shannon', 'threshold' or 'l1')"
-        )
-    return np.asarray(jnp.sum(vals, axis=0), dtype=float).reshape(b1, b2)
+    return _block_costs(blocks, cost, threshold, "best_basis_2d").reshape(b1, b2)
 
 
 @_dc.dataclass

@@ -42,7 +42,8 @@ def wigner_ville(
       signal: (..., N); leading axes batch.
       sampling_rate: Hz (scales the returned frequency grid).
       n_bins: frequency rows (default: next pow2 of N, capped at 1024).
-        Also bounds the maximum lag to ``n_bins - 1``.
+        The autocorrelation lag support is ``+- (n_bins // 2 - 1)``
+        samples — double n_bins to double the frequency resolution.
       time_window: odd width of the Gaussian time-smoothing window
         (None = no time smoothing — the pseudo-WVD).
       lag_window: odd width of the Gaussian lag window (None = a full-lag

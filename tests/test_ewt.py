@@ -88,3 +88,21 @@ class TestEWT:
         with pytest.raises(jw.JWaveFailure):
             # flat-ish spectrum cannot support 40 separated peaks
             jw.ewt_boundaries(np.ones(64), 40)
+
+
+class TestReviewRegressions:
+    def test_batched_boundaries_pool_magnitudes(self):
+        # phase-opposed components must POOL across the batch, not cancel
+        t = T
+        x0 = np.cos(2 * np.pi * 30 * t) + np.cos(2 * np.pi * 120 * t)
+        x1 = np.cos(2 * np.pi * 30 * t) - np.cos(2 * np.pi * 120 * t)
+        b_hz = jw.ewt_boundaries(np.stack([x0, x1]), 2) * FS / (2 * np.pi)
+        assert 30 < b_hz[0] < 120
+
+    def test_hand_built_result_crosses_jit(self):
+        x = jnp.asarray(three_tone())
+        res = jw.ewt(x, boundaries=[0.5, 1.5])
+        hand = jw.EWTResult(res.modes, [0.5, 1.5])  # list, not ndarray
+        out = jax.jit(jw.iewt)(hand)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(jw.iewt(res)),
+                                   atol=1e-12)

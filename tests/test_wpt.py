@@ -144,9 +144,7 @@ class TestBestBasis2D:
         x = self._scene()
         from jwave_tpu.transforms.wpt import _node_costs_2d
         bb = jw.best_basis_2d(x, "db4", max_level=3)
-        root = _node_costs_2d(x[None, None, :, :][..., None, None, :, :].squeeze(0).squeeze(0),
-                              "shannon", 0.0)[0, 0] if False else \
-            _node_costs_2d(x[..., None, None, :, :], "shannon", 0.0)[0, 0]
+        root = _node_costs_2d(x[..., None, None, :, :], "shannon", 0.0)[0, 0]
         assert bb.cost <= root + 1e-9
 
     def test_adaptive_split(self):
