@@ -34,6 +34,7 @@ from .transforms.modwt import (
     imodwt, imodwt_1d, modwt, modwt_1d,
 )
 from .transforms.cwt import CWTResult, PaddingType, cwt, cwt_direct
+from .transforms.lifting import LiftingScheme, get_scheme, lifting_fwt, lifting_ifwt
 
 
 class BasicTransform:
@@ -169,6 +170,32 @@ class WaveletPacketTransform(WaveletTransform):
 
     def _reverse_core(self, y, level=None):
         return iwpt(y, self.wavelet, level)
+
+
+class LiftingWaveletTransform(BasicTransform):
+    """Lifting-scheme FWT facade — runs the CDF banks the reference's
+    builder refuses to create (WaveletBuilder.java:363-385); see
+    transforms/lifting.py. Shares the FWT pyramid layout, so 2D/3D,
+    compression and decompose/recompose compose unchanged."""
+
+    name = "Lifting Wavelet Transform"
+
+    def __init__(self, scheme="CDF 9/7"):
+        super().__init__()
+        self.scheme: LiftingScheme = get_scheme(scheme)
+
+    def get_wavelet(self) -> LiftingScheme:
+        return self.scheme
+
+    def _forward_core(self, x, level=None):
+        return lifting_fwt(x, self.scheme, level)
+
+    def _reverse_core(self, y, level=None):
+        return lifting_ifwt(y, self.scheme, level)
+
+    # the generic all-level bundle only touches _forward/_reverse_core
+    decompose = WaveletTransform.decompose
+    recompose = WaveletTransform.recompose
 
 
 class ShiftingWaveletTransform(WaveletTransform):
@@ -444,6 +471,7 @@ class TransformBuilder:
         "fast wavelet transform": lambda w, **kw: FastWaveletTransform(w),
         "wavelet packet transform": lambda w, **kw: WaveletPacketTransform(w),
         "shifting wavelet transform": lambda w, **kw: ShiftingWaveletTransform(w),
+        "lifting wavelet transform": lambda w, **kw: LiftingWaveletTransform(w),
         "maximal overlap discrete wavelet transform": lambda w, **kw: MODWTTransform(w, **kw),
         "modwt": lambda w, **kw: MODWTTransform(w, **kw),
         "discrete fourier transform": lambda w, **kw: DiscreteFourierTransform(),

@@ -51,6 +51,9 @@ def _list() -> int:
         fb = get_filter(name)
         flags = "" if fb.junit_passing else "  [no perfect reconstruction in reference tests]"
         print(f"  {name:<22} ({fb.length:>2} taps){flags}")
+    from .transforms.lifting import lifting_schemes
+
+    print("\nlifting schemes (Lifting Wavelet Transform):", ", ".join(lifting_schemes()))
     print("\ncontinuous wavelets: Morlet, Mexican Hat, Paul, DOG, Meyer, Morse")
     print("\nanalysis API (import jwave_tpu): ssq_cwt, superlet, scattering1d/2d,")
     print("  vmd, ewt, matching_pursuit, dtcwt/dtcwt2d, denoise/denoise_dtcwt,")

@@ -17,6 +17,7 @@ from .superlet import superlet
 from .analytic import analytic_signal, envelope, instantaneous_frequency
 from .ewt import ewt, iewt, ewt_boundaries, ewt_filter_bank, EWTResult
 from .wvd import wigner_ville
+from .lifting import LiftingScheme, get_scheme, lifting_schemes, lifting_dwt, lifting_idwt, lifting_fwt, lifting_ifwt
 from .fft import bluestein_fft, fft, ifft, dft, idft, fft_interleaved, ifft_interleaved
 from .aed import aed_forward, aed_reverse
 from .shifting import shifting_forward, shifting_reverse
@@ -36,6 +37,8 @@ __all__ = [
     "analytic_signal", "envelope", "instantaneous_frequency",
     "ewt", "iewt", "ewt_boundaries", "ewt_filter_bank", "EWTResult",
     "wigner_ville",
+    "LiftingScheme", "get_scheme", "lifting_schemes",
+    "lifting_dwt", "lifting_idwt", "lifting_fwt", "lifting_ifwt",
     "fft", "ifft", "dft", "idft", "fft_interleaved", "ifft_interleaved",
     "aed_forward", "aed_reverse",
     "shifting_forward", "shifting_reverse",
