@@ -188,6 +188,12 @@ def main():
     dt2 = bench_op(lambda m: forward_2d(lambda v, level: fwt(v, "Daubechies 4", level), m, 6, 6), img)
     details["fwt2d_db4_L6_2048"] = {"ms": dt2 * 1e3, "Mpix_per_s": round(2048 * 2048 / dt2 / 1e6, 1)}
 
+    # --- lifting-scheme FWT (CDF 9/7, JPEG2000) — pure VPU FMA chains ----
+    from jwave_tpu.transforms.lifting import lifting_fwt
+
+    dtl = bench_op(lambda a: lifting_fwt(a, "CDF 9/7", 8), x)
+    details["lifting_cdf97_L8"] = {"ms": dtl * 1e3, "Msamples_per_s": round(batch * n / dtl / 1e6, 1)}
+
     # --- 1D FWT multi-level (BASELINE config #2: 64K samples, 8 levels) ---
     dt1 = bench_op(lambda a: fwt(a, "Daubechies 4", 8), x)
     details["fwt1d_db4_L8"] = {"ms": dt1 * 1e3, "Msamples_per_s": round(batch * n / dt1 / 1e6, 1)}

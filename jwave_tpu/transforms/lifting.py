@@ -129,54 +129,85 @@ def lifting_schemes() -> tuple:
     return tuple(sorted(_SCHEMES))
 
 
-def _analyze(x, sch: LiftingScheme):
+_BOUNDARIES = ("periodic", "symmetric")
+
+
+def _next(a, boundary: str):
+    """a[n+1]: periodic wrap, or clamp (== whole-sample symmetric
+    extension of the underlying signal — verified bit-exact in tests)."""
+    if boundary == "periodic":
+        return jnp.roll(a, -1, axis=-1)
+    return jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
+
+
+def _prev(a, boundary: str):
+    """a[n-1]: periodic wrap or clamp."""
+    if boundary == "periodic":
+        return jnp.roll(a, 1, axis=-1)
+    return jnp.concatenate([a[..., :1], a[..., :-1]], axis=-1)
+
+
+def _check_boundary(boundary: str, who: str):
+    if boundary not in _BOUNDARIES:
+        raise JWaveFailure(f"{who} - unknown boundary {boundary!r}; choose from {_BOUNDARIES}")
+
+
+def _analyze(x, sch: LiftingScheme, boundary: str):
     """One analysis level on the full (even) last axis -> (a, d)."""
     s = x[..., 0::2]
     d = x[..., 1::2]
     for kind, c0, c1 in sch.steps:
         if kind == "p":
-            d = d + c0 * s + (c1 * jnp.roll(s, -1, axis=-1) if c1 else 0.0)
+            d = d + c0 * s + (c1 * _next(s, boundary) if c1 else 0.0)
         else:
-            s = s + c0 * d + (c1 * jnp.roll(d, 1, axis=-1) if c1 else 0.0)
+            s = s + c0 * d + (c1 * _prev(d, boundary) if c1 else 0.0)
     return sch.k_s * s, sch.k_d * d
 
 
-def _synthesize(a, d, sch: LiftingScheme):
-    """Exact inverse of _analyze: unscale, undo steps in reverse, merge."""
+def _synthesize(a, d, sch: LiftingScheme, boundary: str):
+    """Exact inverse of _analyze: unscale, undo steps in reverse, merge.
+
+    Structurally perfect reconstruction for EITHER boundary: the inverse
+    subtracts the identical (boundary-matched) predictions/updates."""
     s = a / sch.k_s
     d = d / sch.k_d
     for kind, c0, c1 in reversed(sch.steps):
         if kind == "p":
-            d = d - c0 * s - (c1 * jnp.roll(s, -1, axis=-1) if c1 else 0.0)
+            d = d - c0 * s - (c1 * _next(s, boundary) if c1 else 0.0)
         else:
-            s = s - c0 * d - (c1 * jnp.roll(d, 1, axis=-1) if c1 else 0.0)
+            s = s - c0 * d - (c1 * _prev(d, boundary) if c1 else 0.0)
     out = jnp.stack([s, d], axis=-1)
     return out.reshape(out.shape[:-2] + (2 * s.shape[-1],))
 
 
-def lifting_dwt(x, scheme="CDF 9/7"):
+def lifting_dwt(x, scheme="CDF 9/7", boundary: str = "periodic"):
     """Single-level lifting analysis along the last axis -> (approx, detail).
 
     The last axis must be even; leading axes are batch dimensions.
+    ``boundary='symmetric'`` gives JPEG2000's whole-sample symmetric
+    extension (in lifting form, edge-clamped neighbor access — bit-exactly
+    equal to running periodic lifting on the length-(2N-2) extension).
     """
     sch = get_scheme(scheme)
+    _check_boundary(boundary, "lifting_dwt")
     x = ensure_float(jnp.asarray(x))
     n = x.shape[-1]
     if n < 2 or n % 2:
         raise JWaveFailure(f"lifting_dwt - last-axis length {n} must be even and >= 2")
-    return _analyze(x, sch)
+    return _analyze(x, sch, boundary)
 
 
-def lifting_idwt(approx, detail, scheme="CDF 9/7"):
+def lifting_idwt(approx, detail, scheme="CDF 9/7", boundary: str = "periodic"):
     """Exact single-level lifting synthesis: inverse of lifting_dwt."""
     sch = get_scheme(scheme)
+    _check_boundary(boundary, "lifting_idwt")
     a = ensure_float(jnp.asarray(approx))
     d = ensure_float(jnp.asarray(detail))
     if a.shape != d.shape:
         raise JWaveFailure(
             f"lifting_idwt - approx {a.shape} and detail {d.shape} shapes differ"
         )
-    return _synthesize(a, d, sch)
+    return _synthesize(a, d, sch, boundary)
 
 
 def _check_pow2(n: int, who: str):
@@ -196,7 +227,7 @@ def _levels_for(n: int, level: int | None, who: str) -> int:
     return level
 
 
-def lifting_fwt(x, scheme="CDF 9/7", level: int | None = None):
+def lifting_fwt(x, scheme="CDF 9/7", level: int | None = None, boundary: str = "periodic"):
     """Multi-level lifting FWT along the last axis (length 2^p), batched.
 
     Produces the same in-place pyramid layout as transforms/fwt.py
@@ -205,6 +236,7 @@ def lifting_fwt(x, scheme="CDF 9/7", level: int | None = None):
     works on lifting coefficients unchanged.
     """
     sch = get_scheme(scheme)
+    _check_boundary(boundary, "lifting_fwt")
     x = ensure_float(jnp.asarray(x))
     n = x.shape[-1]
     _check_pow2(n, "lifting_fwt")
@@ -212,7 +244,7 @@ def lifting_fwt(x, scheme="CDF 9/7", level: int | None = None):
     h = n
     l = 0
     while h >= 2 and l < level:
-        a, d = _analyze(x[..., :h], sch)
+        a, d = _analyze(x[..., :h], sch, boundary)
         head = jnp.concatenate([a, d], axis=-1)
         x = jnp.concatenate([head, x[..., h:]], axis=-1) if h < n else head
         h >>= 1
@@ -220,9 +252,10 @@ def lifting_fwt(x, scheme="CDF 9/7", level: int | None = None):
     return x
 
 
-def lifting_ifwt(y, scheme="CDF 9/7", level: int | None = None):
+def lifting_ifwt(y, scheme="CDF 9/7", level: int | None = None, boundary: str = "periodic"):
     """Inverse multi-level lifting FWT (exact reconstruction)."""
     sch = get_scheme(scheme)
+    _check_boundary(boundary, "lifting_ifwt")
     y = ensure_float(jnp.asarray(y))
     n = y.shape[-1]
     _check_pow2(n, "lifting_ifwt")
@@ -234,7 +267,7 @@ def lifting_ifwt(y, scheme="CDF 9/7", level: int | None = None):
     h = n >> (levels_done - 1)
     while h <= n:
         half = h >> 1
-        head = _synthesize(y[..., :half], y[..., half:h], sch)
+        head = _synthesize(y[..., :half], y[..., half:h], sch, boundary)
         y = jnp.concatenate([head, y[..., h:]], axis=-1) if h < n else head
         h <<= 1
     return y

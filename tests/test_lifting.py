@@ -189,6 +189,45 @@ def test_jit_vmap_grad(rng):
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+@pytest.mark.parametrize("scheme", SCHEMES)
+@pytest.mark.parametrize("n,level", [(16, 1), (256, 4), (64, None)])
+def test_symmetric_roundtrip(scheme, n, level, rng):
+    """Structural PR holds for the symmetric boundary too."""
+    x = rng.standard_normal((2, n))
+    y = jw.lifting_fwt(x, scheme, level, boundary="symmetric")
+    back = jw.lifting_ifwt(y, scheme, level, boundary="symmetric")
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-11)
+
+
+@pytest.mark.parametrize("scheme", ["CDF 5/3", "CDF 9/7"])
+def test_symmetric_equals_whole_sample_extension(scheme, rng):
+    """symmetric mode == periodic lifting on the whole-sample symmetric
+    extension (period 2N-2), restricted to the first half — the JPEG2000
+    boundary, bit-exact."""
+    n = 32
+    x = rng.standard_normal(n)
+    ext = np.concatenate([x, x[-2:0:-1]])  # length 2n-2, even
+    a_e, d_e = jw.lifting_dwt(ext, scheme, boundary="periodic")
+    a_s, d_s = jw.lifting_dwt(x, scheme, boundary="symmetric")
+    np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_e)[: n // 2], atol=1e-14)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_e)[: n // 2], atol=1e-14)
+
+
+def test_symmetric_cdf53_annihilates_linears_everywhere():
+    """Whole-sample symmetric extension folds a ramp smoothly at the left
+    edge; the interior AND left-edge details vanish (unlike periodic,
+    whose wrap seam leaks)."""
+    t = np.arange(128, dtype=np.float64)
+    x = 3.0 + 0.25 * t
+    _, d = jw.lifting_dwt(x, "CDF 5/3", boundary="symmetric")
+    assert np.max(np.abs(np.asarray(d)[:-2])) < 1e-12
+
+
+def test_unknown_boundary():
+    with pytest.raises(jw.JWaveFailure):
+        jw.lifting_fwt(np.zeros(16), "CDF 9/7", boundary="reflect")
+
+
 def test_bad_inputs():
     with pytest.raises(jw.JWaveFailure):
         jw.lifting_dwt(np.zeros(7), "CDF 9/7")
