@@ -124,14 +124,27 @@ def butterfly_forward_mxu(x, dec_lo, dec_hi, precision=None):
     Same contract/layout as ops.butterfly.butterfly_forward: returns
     (..., h) as [approx | detail].
     """
+    h = x.shape[-1]
+    lead = x.shape[:-1]
+    if h <= LANES:
+        if precision is None:
+            precision = _config.conv_precision()
+        w = jnp.asarray(_dense_for(dec_lo, dec_hi, h), x.dtype)
+        out = _dot(x.reshape((-1, h)), w, precision)
+        return out.astype(x.dtype).reshape(lead + (h,))
+    a, d = butterfly_forward_mxu_split(x, dec_lo, dec_hi, precision)
+    return jnp.concatenate([a, d], axis=-1).reshape(lead + (h,))
+
+
+def butterfly_forward_mxu_split(x, dec_lo, dec_hi, precision=None):
+    """Analysis butterfly returning (approx, detail) as SEPARATE (..., h/2)
+    arrays (h % 256 == 0) — lets the fused pyramid (ops.mxu_pyramid) feed
+    `approx` straight into the next level without materialising the
+    reference's [a | d] concatenation at every level."""
     if precision is None:
         precision = _config.conv_precision()
     h = x.shape[-1]
     lead = x.shape[:-1]
-    if h <= LANES:
-        w = jnp.asarray(_dense_for(dec_lo, dec_hi, h), x.dtype)
-        out = _dot(x.reshape((-1, h)), w, precision)
-        return out.astype(x.dtype).reshape(lead + (h,))
     to = h // (2 * LANES)
     bank = _bank_for(dec_lo, dec_hi)
     e_count = bank.shape[0]
@@ -157,9 +170,10 @@ def butterfly_forward_mxu(x, dec_lo, dec_hi, precision=None):
         td = _dot(tail, jnp.asarray(w[:, LANES:], x.dtype), precision)
         acc_a = ta if acc_a is None else acc_a + ta
         acc_d = td if acc_d is None else acc_d + td
-    a = acc_a.astype(x.dtype).reshape((-1, to * LANES))
-    d = acc_d.astype(x.dtype).reshape((-1, to * LANES))
-    return jnp.concatenate([a, d], axis=-1).reshape(lead + (h,))
+    half = lead + (to * LANES,)
+    a = acc_a.astype(x.dtype).reshape(half)
+    d = acc_d.astype(x.dtype).reshape(half)
+    return a, d
 
 
 def butterfly_reverse_mxu(y, rec_lo, rec_hi, recon_gain: float = 1.0, precision=None):
@@ -169,37 +183,52 @@ def butterfly_reverse_mxu(y, rec_lo, rec_hi, recon_gain: float = 1.0, precision=
     transposed tiles produce contiguous (2k+2s, 2k+2s+1) tile pairs in one
     matmul, scattered back with a +s pair roll.
     """
-    if precision is None:
-        precision = _config.conv_precision()
     h = y.shape[-1]
     lead = y.shape[:-1]
     if h <= LANES:
+        if precision is None:
+            precision = _config.conv_precision()
         # adjoint of the dense analysis matrix built from the rec filters
         w = jnp.asarray(_dense_for(rec_lo, rec_hi, h).T, y.dtype)
         out = _dot(y.reshape((-1, h)), w, precision).astype(y.dtype)
         if recon_gain != 1.0:
             out = out * jnp.asarray(recon_gain, out.dtype)
         return out.reshape(lead + (h,))
-    to = h // (2 * LANES)
     half = h // 2
+    return butterfly_reverse_mxu_parts(
+        y[..., :half], y[..., half:], rec_lo, rec_hi, recon_gain, precision
+    )
+
+
+def butterfly_reverse_mxu_parts(a, d, rec_lo, rec_hi, recon_gain: float = 1.0,
+                                precision=None):
+    """Synthesis butterfly taking (approx, detail) as SEPARATE (..., h/2)
+    inputs (h % 256 == 0), returning the (..., h) reconstruction — the
+    adjoint counterpart of :func:`butterfly_forward_mxu_split` used by the
+    fused pyramid to chain levels without intermediate concatenations."""
+    if precision is None:
+        precision = _config.conv_precision()
+    half = a.shape[-1]
+    h = 2 * half
+    lead = a.shape[:-1]
+    to = h // (2 * LANES)
     bank = _bank_for(rec_lo, rec_hi)
     e_count = bank.shape[0]
-    y2 = y.reshape((-1, h))
-    a3 = y2[:, :half].reshape(-1, to, LANES)
-    d3 = y2[:, half:].reshape(-1, to, LANES)
+    a3 = a.reshape(-1, to, LANES)
+    d3 = d.reshape(-1, to, LANES)
     z = jnp.concatenate([a3, d3], axis=-1).reshape(-1, 2 * LANES)
     b = a3.shape[0]
     acc = None
     for s in range(e_count // 2):
         # V pair block (256, 256): columns = tiles (2k+2s, 2k+2s+1)
-        v = jnp.asarray(np.concatenate([bank[2 * s].T, bank[2 * s + 1].T], axis=1), y.dtype)
-        u = _dot(z, v, precision).astype(y.dtype).reshape(b, to, 2 * LANES)
+        v = jnp.asarray(np.concatenate([bank[2 * s].T, bank[2 * s + 1].T], axis=1), a.dtype)
+        u = _dot(z, v, precision).astype(a.dtype).reshape(b, to, 2 * LANES)
         u = jnp.roll(u, s, axis=1) if s else u
         acc = u if acc is None else acc + u
     if e_count % 2:
         s = e_count // 2
-        u = _dot(z, jnp.asarray(bank[e_count - 1].T, y.dtype), precision)
-        u = u.astype(y.dtype).reshape(b, to, LANES)
+        u = _dot(z, jnp.asarray(bank[e_count - 1].T, a.dtype), precision)
+        u = u.astype(a.dtype).reshape(b, to, LANES)
         exp = jnp.concatenate([u, jnp.zeros_like(u)], axis=-1)
         acc_t = jnp.roll(exp, s, axis=1)
         acc = acc_t if acc is None else acc + acc_t

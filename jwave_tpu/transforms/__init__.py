@@ -18,6 +18,7 @@ from .analytic import analytic_signal, envelope, instantaneous_frequency
 from .ewt import ewt, iewt, ewt_boundaries, ewt_filter_bank, EWTResult
 from .wvd import wigner_ville
 from .lifting import LiftingScheme, get_scheme, lifting_schemes, lifting_dwt, lifting_idwt, lifting_fwt, lifting_ifwt
+from .sliding import SlidingMODWT, SlidingState, sliding_modwt_init, sliding_modwt_update
 from .fft import bluestein_fft, fft, ifft, dft, idft, fft_interleaved, ifft_interleaved
 from .aed import aed_forward, aed_reverse
 from .shifting import shifting_forward, shifting_reverse
@@ -27,6 +28,7 @@ __all__ = [
     "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose", "fwt_split", "fwt_merge",
     "wpt", "iwpt",
     "modwt", "imodwt", "modwt_1d", "imodwt_1d", "modwt_2d", "imodwt_2d", "ConvolutionMethod",
+    "SlidingMODWT", "SlidingState", "sliding_modwt_init", "sliding_modwt_update",
     "cwt", "cwt_chunked", "cwt_direct", "icwt", "CWTResult", "generate_log_scales", "generate_linear_scales", "PaddingType",
     "scattering1d", "scattering_filter_bank", "ScatteringResult",
     "scattering2d", "scattering_filter_bank_2d", "Scattering2DResult",

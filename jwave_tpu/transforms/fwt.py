@@ -14,7 +14,8 @@ import jax.numpy as jnp
 
 from ..exceptions import JWaveFailure
 from ..filters import get_filter
-from ..ops.butterfly import butterfly_forward, butterfly_reverse
+from ..ops.butterfly import butterfly_forward, butterfly_reverse, ensure_float
+from ..ops.mxu_pyramid import fwt_forward_fused, fwt_inverse_fused, pyramid_eligible
 from ..utils.numerics import exponent_of_two, is_power_of_two
 
 
@@ -46,6 +47,11 @@ def fwt(x, wavelet, level: int | None = None):
         level = steps
     if level < 0 or level > steps:
         raise JWaveFailure(f"fwt - level {level} out of range [0, {steps}]")
+    x = ensure_float(x)
+    if level > 0 and pyramid_eligible(x):
+        # fused pyramid: split butterflies + one dense composed tail + ONE
+        # output assembly (ops.mxu_pyramid) — no per-level head/tail copies
+        return fwt_forward_fused(x, fb, level)
     h = n
     l = 0
     while h >= fb.transform_wavelength and l < level:
@@ -67,6 +73,9 @@ def ifwt(y, wavelet, level: int | None = None):
         level = steps
     if level < 0 or level > steps:
         raise JWaveFailure(f"ifwt - level {level} out of range [0, {steps}]")
+    y = ensure_float(y)
+    if level > 0 and pyramid_eligible(y):
+        return fwt_inverse_fused(y, fb, level)
     # number of levels the forward actually performed: it stops either at
     # `level` or when the shrinking prefix drops below transform_wavelength.
     # (The reference computes h = tw << (steps - level), which is only correct

@@ -142,45 +142,68 @@ def _use_complex_fft() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def _cascade_spectra_full(wavelet, level: int, n: int) -> np.ndarray:
+def _cascade_spectra_full(wavelet, level: int, n: int, start: int = 0) -> np.ndarray:
     """Full-spectrum (length-n) variant of :func:`_cascade_spectra`."""
-    filters = _level_filters(wavelet, level, n)
+    filters = _level_filters(wavelet, level, n)[start:]
 
     def full(f):
         fp = np.pad(f, (0, n - f.shape[0])) if f.shape[0] < n else f
         return np.fft.fft(fp)
 
-    out = np.empty((level + 1, n), dtype=np.complex128)
+    rows = level - start
+    out = np.empty((rows + 1, n), dtype=np.complex128)
     g_acc = np.ones(n, dtype=np.complex128)
     for j, (gj, hj) in enumerate(filters):
         out[j] = full(hj) * g_acc
         g_acc = g_acc * full(gj)
-    out[level] = g_acc
+    out[rows] = g_acc
     return out
 
 
-def _cascade_spectra(wavelet, level: int, n: int) -> np.ndarray:
-    """(J+1, n//2+1) complex128: frequency response of every output row.
+def _cascade_spectra(wavelet, level: int, n: int, start: int = 0) -> np.ndarray:
+    """(J-start+1, n//2+1) complex128: frequency response of rows
+    W_{start+1} .. W_J, V_J relative to the level-``start`` smooth V_start.
 
     The per-level recursion V_j = g_j (*) V_{j-1}, W_j = h_j (*) V_{j-1}
     telescopes in the frequency domain to
 
-        W_j_hat = H_j * prod_{i<j} G_i,      V_J_hat = prod_{i<=J} G_i,
+        W_j_hat = H_j * prod_{start < i < j} G_i,  V_J_hat = prod G_i,
 
-    so the whole forward MODWT is ONE rfft of the signal and ONE batched
+    so the forward MODWT from V_start down is ONE rfft and ONE batched
     irfft against these host-precomputed responses — J x fewer FFTs than
     the reference's level-sequential FFT path (MODWTTransform.java:752-786)
     with identical linear-operator semantics. The inverse telescopes the
-    same way with conjugated responses.
+    same way with conjugated responses. ``start > 0`` supports the
+    reference's per-level AUTO routing (MODWTTransform.java:640-664): the
+    shallow levels (small upsampled supports M_j) run as direct
+    convolutions, the deep tail as one FFT cascade.
     """
-    filters = _level_filters(wavelet, level, n)
-    out = np.empty((level + 1, n // 2 + 1), dtype=np.complex128)
+    filters = _level_filters(wavelet, level, n)[start:]
+    rows = level - start
+    out = np.empty((rows + 1, n // 2 + 1), dtype=np.complex128)
     g_acc = np.ones(n // 2 + 1, dtype=np.complex128)
     for j, (gj, hj) in enumerate(filters):
         out[j] = _spec(hj, n) * g_acc
         g_acc = g_acc * _spec(gj, n)
-    out[level] = g_acc
+    out[rows] = g_acc
     return out
+
+
+def _direct_prefix_levels(wavelet, level: int, n: int,
+                          method: ConvolutionMethod, threshold: int) -> int:
+    """Per-level AUTO routing (MODWTTransform.java:640-664): the reference
+    picks FFT-vs-direct per convolution per level with threshold N*M_j,
+    where M_j = (M-1)(2^(j-1)) + ... grows with j — so AUTO is always a
+    direct prefix (levels 1..k) followed by an FFT tail (k+1..J). Returns
+    k: 0 = pure FFT, ``level`` = pure direct."""
+    if method is ConvolutionMethod.FFT:
+        return 0
+    if method is ConvolutionMethod.DIRECT:
+        return level
+    k = 0
+    while k < level and n * _upsample_len(wavelet, k + 1) <= threshold:
+        k += 1
+    return k
 
 
 def _validate_level(n: int, level: int, who: str):
@@ -273,30 +296,35 @@ def modwt(
         flat = x.reshape((-1, n))
         return modwt_pallas(flat, wavelet, level).reshape(lead + (level + 1, n))
 
-    # FFT path: single-pass telescoped cascade (see _cascade_spectra) —
-    # decided per whole transform from the deepest level's N*M product,
-    # mirroring the reference's AUTO rule (MODWTTransform.java:640-664)
-    if _use_fft(method, n, _upsample_len(wavelet, level), fft_threshold):
-        cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
-        if _use_complex_fft():
-            from .fft import fft as _cfft, ifft as _cifft
-
-            fil = jnp.asarray(_cascade_spectra_full(wavelet, level, n), dtype=cdtype)
-            spec = _cfft(x.astype(cdtype))
-            return jnp.real(_cifft(spec[..., None, :] * fil)).astype(x.dtype)
-        fil = jnp.asarray(_cascade_spectra(wavelet, level, n), dtype=cdtype)  # (J+1, nf)
-        spec = jnp.fft.rfft(x, axis=-1)
-        return jnp.fft.irfft(spec[..., None, :] * fil, n=n, axis=-1).astype(x.dtype)
-
-    filters = _level_filters(wavelet, level, n)
+    # per-level AUTO routing (MODWTTransform.java:640-664): the shallow
+    # levels whose N*M_j stay under the threshold run as direct circular
+    # convolutions; all remaining levels collapse into ONE telescoped FFT
+    # cascade on V_k (see _cascade_spectra) — faithful to the reference's
+    # per-convolution choice while keeping the one-FFT formulation
+    k = _direct_prefix_levels(wavelet, level, n, method, fft_threshold)
     rows = []
     v = x
-    for gj, hj in filters:
-        w = circular_conv(v, hj)
-        v = circular_conv(v, gj)
-        rows.append(w)
-    rows.append(v)
-    return jnp.stack(rows, axis=-2)
+    if k:
+        for gj, hj in _level_filters(wavelet, level, n)[:k]:
+            rows.append(circular_conv(v, hj))
+            v = circular_conv(v, gj)
+    if k == level:
+        rows.append(v)
+        return jnp.stack(rows, axis=-2)
+    cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
+    if _use_complex_fft():
+        from .fft import fft as _cfft, ifft as _cifft
+
+        fil = jnp.asarray(_cascade_spectra_full(wavelet, level, n, start=k), dtype=cdtype)
+        spec = _cfft(v.astype(cdtype))
+        tail = jnp.real(_cifft(spec[..., None, :] * fil)).astype(x.dtype)
+    else:
+        fil = jnp.asarray(_cascade_spectra(wavelet, level, n, start=k), dtype=cdtype)
+        spec = jnp.fft.rfft(v, axis=-1)
+        tail = jnp.fft.irfft(spec[..., None, :] * fil, n=n, axis=-1).astype(x.dtype)
+    if not rows:
+        return tail
+    return jnp.concatenate([jnp.stack(rows, axis=-2), tail], axis=-2)
 
 
 def _upsample_len(wavelet, j: int) -> int:
@@ -349,25 +377,34 @@ def imodwt(
         flat = coeffs.reshape((-1, level + 1, n))
         return imodwt_pallas(flat, wavelet).reshape(lead + (n,))
 
-    # FFT path: telescoped adjoint — one batched rfft over the (J+1) rows,
-    # conjugate-weighted sum, one irfft
-    if _use_fft(method, n, _upsample_len(wavelet, level), fft_threshold):
+    # per-level AUTO routing, mirroring the forward: the deep tail
+    # (levels k+1..J, large upsampled supports) collapses into one
+    # telescoped conjugate cascade producing V_k; the shallow prefix runs
+    # as direct adjoint convolutions (MODWTTransform.java:640-664, :798-837)
+    k = _direct_prefix_levels(wavelet, level, n, method, fft_threshold)
+    if k < level:
+        tail = coeffs[..., k:, :]  # rows W_{k+1}..W_J, V_J
         cdtype = jnp.complex128 if coeffs.dtype == jnp.float64 else jnp.complex64
         if _use_complex_fft():
             from .fft import fft as _cfft, ifft as _cifft
 
-            fil = jnp.asarray(np.conj(_cascade_spectra_full(wavelet, level, n)), dtype=cdtype)
-            spec = _cfft(coeffs.astype(cdtype))
+            fil = jnp.asarray(
+                np.conj(_cascade_spectra_full(wavelet, level, n, start=k)), dtype=cdtype
+            )
+            spec = _cfft(tail.astype(cdtype))
             v_hat = jnp.sum(spec * fil, axis=-2)
-            return jnp.real(_cifft(v_hat)).astype(coeffs.dtype)
-        fil = jnp.asarray(np.conj(_cascade_spectra(wavelet, level, n)), dtype=cdtype)
-        spec = jnp.fft.rfft(coeffs, axis=-1)  # (..., J+1, nf)
-        v_hat = jnp.sum(spec * fil, axis=-2)
-        return jnp.fft.irfft(v_hat, n=n, axis=-1).astype(coeffs.dtype)
-
+            v = jnp.real(_cifft(v_hat)).astype(coeffs.dtype)
+        else:
+            fil = jnp.asarray(
+                np.conj(_cascade_spectra(wavelet, level, n, start=k)), dtype=cdtype
+            )
+            spec = jnp.fft.rfft(tail, axis=-1)  # (..., J-k+1, nf)
+            v_hat = jnp.sum(spec * fil, axis=-2)
+            v = jnp.fft.irfft(v_hat, n=n, axis=-1).astype(coeffs.dtype)
+    else:
+        v = coeffs[..., level, :]
     filters = _level_filters(wavelet, level, n)
-    v = coeffs[..., level, :]
-    for j in range(level, 0, -1):
+    for j in range(k, 0, -1):
         gj, hj = filters[j - 1]
         w = coeffs[..., j - 1, :]
         v = circular_conv_adjoint(v, gj) + circular_conv_adjoint(w, hj)

@@ -382,3 +382,58 @@ class TestLongMemoryEstimators:
             jw.hurst_exponent(jnp.ones(32), "db20")  # too short for level 2
         with pytest.raises(jw.JWaveFailure):
             jw.wavelet_log_spectrum(x, "db4", 1)
+
+
+class TestPerLevelAutoRouting:
+    """Per-level AUTO convolution-method selection
+    (MODWTTransform.java:640-664): AUTO must route each level by N*M_j,
+    giving a direct prefix + FFT tail that agrees with both pure methods."""
+
+    def test_prefix_matches_reference_rule(self):
+        from jwave_tpu.transforms.modwt import (
+            _direct_prefix_levels, _upsample_len, DEFAULT_FFT_THRESHOLD)
+
+        # the reference's published break-evens (MODWTTransform.java:122-127)
+        # fall out of the N*M_j > 4096 rule per level
+        for n, name, want in [
+            (256, "db4", 2),   # M_j = 8,15,29,.. -> 2048,3840,7424: k=2
+            (64, "haar", 6),   # M_j = 2^(j-1)+1: 64*33 = 2112 <= 4096 at j=6
+            (512, "db20", 0),  # M_1 = 40 -> 512*40 > 4096 immediately
+        ]:
+            level = min(6, (n.bit_length() - 1))
+            k = _direct_prefix_levels(
+                name, level, n, jw.ConvolutionMethod.AUTO, DEFAULT_FFT_THRESHOLD)
+            assert k == min(want, level), (n, name, k)
+            for j in range(1, level + 1):
+                cheap = n * _upsample_len(name, j) <= DEFAULT_FFT_THRESHOLD
+                assert (j <= k) == cheap
+
+    def test_hybrid_agrees_with_pure_methods(self, rng):
+        # n=256 db4 level 5: AUTO runs levels 1-2 direct, 3-5 as one FFT
+        # cascade; all three methods are the same linear operator
+        x = jnp.asarray(rng.standard_normal((2, 256)))
+        a = np.asarray(jw.modwt(x, "db4", 5, method=jw.ConvolutionMethod.AUTO))
+        d = np.asarray(jw.modwt(x, "db4", 5, method=jw.ConvolutionMethod.DIRECT))
+        f = np.asarray(jw.modwt(x, "db4", 5, method=jw.ConvolutionMethod.FFT))
+        np.testing.assert_allclose(a, d, atol=1e-11)
+        np.testing.assert_allclose(a, f, atol=1e-11)
+
+    def test_hybrid_inverse_roundtrip(self, rng):
+        x = jnp.asarray(rng.standard_normal(256))
+        for method in (jw.ConvolutionMethod.AUTO, jw.ConvolutionMethod.DIRECT,
+                       jw.ConvolutionMethod.FFT):
+            c = jw.modwt(x, "db4", 5, method=method)
+            r = jw.imodwt(c, "db4", method=method)
+            np.testing.assert_allclose(np.asarray(r), np.asarray(x), atol=1e-11)
+        # cross: forward AUTO (hybrid), inverse FFT — same operator either way
+        c = jw.modwt(x, "db4", 5, method=jw.ConvolutionMethod.AUTO)
+        r = jw.imodwt(c, "db4", method=jw.ConvolutionMethod.FFT)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(x), atol=1e-11)
+
+    def test_threshold_dial(self, rng):
+        # a huge threshold forces all-direct through AUTO; zero forces
+        # all-FFT — both still exactly invert
+        x = jnp.asarray(rng.standard_normal(128))
+        hi = jw.modwt(x, "db4", 4, fft_threshold=1 << 30)
+        lo = jw.modwt(x, "db4", 4, fft_threshold=0)
+        np.testing.assert_allclose(np.asarray(hi), np.asarray(lo), atol=1e-11)

@@ -186,3 +186,35 @@ def test_deep_3d_through_dial(force_mxu):
     config.set_mxu_butterfly("on")
     np.testing.assert_allclose(got, want, atol=1e-11)
     np.testing.assert_allclose(reverse_3d(rev, got, 4, 4, 4), vol, atol=1e-10)
+
+
+@pytest.mark.parametrize("n,level", [(65536, 1), (1024, 2), (512, 1), (256, 8),
+                                     (2048, 11), (4096, 3)])
+def test_fused_pyramid_partial_levels(force_mxu, n, level):
+    # shallow pyramids on large signals must NOT fold a dense (n, n) tail
+    # (level=1 at n=65536 would be a 34 GB matrix) — the inverse starts the
+    # split synthesis chain from the stored approx slice instead
+    x = jnp.asarray(RNG.standard_normal((2, n)))
+    got = jw.fwt(x, "db4", level)
+    config.set_mxu_butterfly("off")
+    want = jw.fwt(x, "db4", level)
+    config.set_mxu_butterfly("on")
+    np.testing.assert_allclose(got, want, atol=1e-11)
+    np.testing.assert_allclose(jw.ifwt(got, "db4", level), x, atol=1e-10)
+
+
+def test_fused_pyramid_level_zero(force_mxu):
+    x = jnp.asarray(RNG.standard_normal((2, 512)))
+    np.testing.assert_allclose(jw.fwt(x, "db4", 0), x, atol=0)
+    np.testing.assert_allclose(jw.ifwt(x, "db4", 0), x, atol=0)
+
+
+def test_fused_pyramid_decompose_consistency(force_mxu):
+    # fwt_decompose reuses fwt per level; each bundle row must match the
+    # dial-off row exactly at roundoff
+    x = jnp.asarray(RNG.standard_normal(1024))
+    got = jw.fwt_decompose(x, "sym8")
+    config.set_mxu_butterfly("off")
+    want = jw.fwt_decompose(x, "sym8")
+    config.set_mxu_butterfly("on")
+    np.testing.assert_allclose(got, want, atol=1e-11)
