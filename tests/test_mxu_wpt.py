@@ -99,3 +99,56 @@ def test_eligibility_gates():
     finally:
         config.set_mxu_butterfly("auto")
     assert not mxu_wpt_eligible(x, 3)  # auto on CPU: conv path (goldens)
+
+
+class TestInterleavedLayout:
+    """layout='interleaved' (round-2 verdict item 4): the MXU kernel's
+    native tile layout, skipping the HBM-bound subband-major relayout for
+    elementwise pipelines."""
+
+    def test_roundtrip_exact(self, force_mxu):
+        x = jnp.asarray(RNG.standard_normal((3, 2048)))
+        y = jw.wpt(x, "db4", 6, layout="interleaved")
+        back = jw.iwpt(y, "db4", 6, layout="interleaved")
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-10)
+
+    def test_relayout_equivalence(self, force_mxu):
+        x = jnp.asarray(RNG.standard_normal((2, 4096)))
+        inter = jw.wpt(x, "sym5", 5, layout="interleaved")
+        sub = jw.wpt(x, "sym5", 5)
+        np.testing.assert_allclose(
+            np.asarray(jw.wpt_interleaved_to_subband(inter, 5)),
+            np.asarray(sub), atol=1e-11)
+        np.testing.assert_allclose(
+            np.asarray(jw.wpt_subband_to_interleaved(sub, 5)),
+            np.asarray(inter), atol=1e-11)
+
+    def test_elementwise_pipeline_layout_agnostic(self, force_mxu):
+        # threshold in interleaved space == threshold in subband space
+        x = jnp.asarray(RNG.standard_normal(2048))
+        tau = 0.5
+
+        def shrink(c):
+            return jnp.sign(c) * jnp.maximum(jnp.abs(c) - tau, 0.0)
+
+        a = jw.iwpt(shrink(jw.wpt(x, "db4", 6, layout="interleaved")),
+                    "db4", 6, layout="interleaved")
+        b = jw.iwpt(shrink(jw.wpt(x, "db4", 6)), "db4", 6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+    def test_guards(self, force_mxu):
+        import pytest
+        from jwave_tpu.exceptions import JWaveFailure
+
+        with pytest.raises(JWaveFailure):
+            jw.wpt(jnp.zeros(2048), "db4", 6, layout="diagonal")
+        with pytest.raises(JWaveFailure):  # level 8 -> two chunks
+            jw.wpt(jnp.zeros(2048), "db4", 8, layout="interleaved")
+        with pytest.raises(JWaveFailure):  # 192 not lane-aligned... not pow2 anyway
+            jw.wpt(jnp.zeros(320), "db4", 2, layout="interleaved")
+        config.set_mxu_butterfly("off")
+        try:
+            with pytest.raises(JWaveFailure):  # dial off -> no MXU path
+                jw.wpt(jnp.zeros(2048), "db4", 6, layout="interleaved")
+        finally:
+            config.set_mxu_butterfly("on")

@@ -227,3 +227,33 @@ class TestScattering2D:
             jw.scattering2d(jnp.ones((8, 8)), J=4)  # 2^4 > 8
         with pytest.raises(jw.JWaveFailure):
             jw.scattering2d(jnp.ones((64, 64), dtype=jnp.complex64), J=2)
+
+
+class TestIntermediateDecimation:
+    """Round-3 reformulation: per-band decimation (order 1: exact spectral
+    periodization; order 2: ideal-lowpass truncation per path rate) must
+    stay within the envelope-tail error budget of the full-rate transform
+    (oversampling=J disables every decimation => the exact reference)."""
+
+    @pytest.mark.parametrize("make", [
+        lambda rng: rng.standard_normal(4096),           # worst case: noise
+        lambda rng: am_tone(n=4096),                     # narrowband
+    ])
+    def test_matches_full_rate_within_tail_budget(self, rng, make):
+        x = jnp.asarray(make(rng))
+        fast = jw.scattering1d(x, J=8, Q=8)
+        full = jw.scattering1d(x, J=8, Q=8, oversampling=8)
+        for name, tol in (("S0", 1e-12), ("S1", 1e-4), ("S2", 2e-3)):
+            a = np.asarray(getattr(fast, name))
+            b = np.asarray(getattr(full, name))[..., ::256]
+            assert a.shape == b.shape
+            scale = np.abs(b).max()
+            assert np.abs(a - b).max() <= tol * scale, (name, np.abs(a - b).max() / scale)
+
+    def test_oversampling_one_still_decimates_consistently(self, rng):
+        x = jnp.asarray(rng.standard_normal(2048))
+        r0 = jw.scattering1d(x, J=6, Q=4)
+        r1 = jw.scattering1d(x, J=6, Q=4, oversampling=1)
+        # the oversampled run's even frames must agree with the critical one
+        np.testing.assert_allclose(np.asarray(r1.S1[..., ::2]),
+                                   np.asarray(r0.S1), atol=1e-3 * float(jnp.abs(r0.S1).max()))
