@@ -245,6 +245,86 @@ def main():
     dtc = bench_op(cwt_mag, chirp, k=32)
     details["cwt_morlet_64scales_1M"] = {"ms": dtc * 1e3, "Mcoeff_per_s": round(64 * nc / dtc / 1e6, 1)}
 
+    # --- analysis layer (round-3: every module gets a measured TPU row) ---
+    def try_row(name, fn, arr, k=8, throughput=None):
+        try:
+            dtr = bench_op(fn, arr, k=k)
+            row = {"ms": round(dtr * 1e3, 3)}
+            if throughput:
+                unit, count = throughput
+                row[unit] = round(count / dtr / 1e6, 1)
+            details[name] = row
+        except Exception as e:  # superset rows — record, don't kill the bench
+            details[name] = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
+
+    xs8_64k = jax.device_put(jnp.asarray(rng.standard_normal((8, 65536)), dtype=jnp.float32))
+    img512 = jax.device_put(jnp.asarray(rng.standard_normal((512, 512)), dtype=jnp.float32))
+    img256 = jax.device_put(jnp.asarray(rng.standard_normal((256, 256)), dtype=jnp.float32))
+
+    def scat1d(a):
+        r = jw.scattering1d(a, J=8, Q=8)
+        return jnp.sum(r.S0) + jnp.sum(r.S1) + jnp.sum(r.S2)
+
+    try_row("scattering1d_J8_Q8_8x64K", scat1d, xs8_64k,
+            throughput=("Msamples_per_s", 8 * 65536))
+
+    def scat2d(m):
+        r = jw.scattering2d(m, J=3, L=8)
+        return jnp.sum(r.S0) + jnp.sum(r.S1) + jnp.sum(r.S2)
+
+    try_row("scattering2d_J3_L8_256", scat2d, img256,
+            throughput=("Mpix_per_s", 256 * 256))
+    try_row("dtcwt1d_L6_8x64K",
+            lambda a: sum(jnp.sum(jnp.abs(h)) for h in jw.dtcwt(a, 6).highpasses),
+            xs8_64k, k=16, throughput=("Msamples_per_s", 8 * 65536))
+    try_row("dtcwt2d_roundtrip_L4_512", lambda m: jw.idtcwt2d(jw.dtcwt2d(m, 4)),
+            img512, k=16, throughput=("Mpix_per_s", 512 * 512))
+    xv = jax.device_put(jnp.asarray(rng.standard_normal(2048), dtype=jnp.float32))
+    try_row("vmd_K3_2048_300it", lambda a: jnp.sum(jw.vmd(a, 3).modes, axis=0), xv, k=4)
+    ewt_sig = rng.standard_normal(16384)
+    ewt_bounds = jw.ewt_boundaries(jnp.asarray(ewt_sig), 5)
+    xe = jax.device_put(jnp.asarray(np.tile(ewt_sig, (8, 1)), dtype=jnp.float32))
+    try_row("ewt_5modes_8x16K",
+            lambda a: jnp.sum(jnp.abs(jw.ewt(a, boundaries=ewt_bounds).modes), axis=-2),
+            xe, k=128, throughput=("Msamples_per_s", 8 * 16384))
+    xsl = jax.device_put(jnp.asarray(rng.standard_normal((8, 16384)), dtype=jnp.float32))
+    sl_freqs = np.linspace(5.0, 200.0, 64)
+    try_row("superlet_64f_o16_8x16K",
+            lambda a: jnp.sum(jw.superlet(a, sl_freqs, 1000.0), axis=-2),
+            xsl, throughput=("Mcoeff_per_s", 8 * 64 * 16384))
+    xw = jax.device_put(jnp.asarray(rng.standard_normal((8, 4096)), dtype=jnp.float32))
+    try_row("wvd_512bins_8x4K",
+            lambda a: jnp.sum(jw.wigner_ville(a, 1.0, n_bins=512)[0], axis=-2),
+            xw, throughput=("Mcoeff_per_s", 8 * 512 * 4096))
+    xm = jax.device_put(jnp.asarray(rng.standard_normal((4, 2048)), dtype=jnp.float32))
+    try_row("matching_pursuit_16atoms_4x2K",
+            lambda a: jw.matching_pursuit(a, 16).residual, xm, k=4)
+    try_row("denoise_dtcwt_512", lambda m: jw.denoise_dtcwt(m, 4), img512,
+            throughput=("Mpix_per_s", 512 * 512))
+    try_row("denoise_modwt_8x64K", lambda a: jw.denoise(a, "db4", 4), xs8_64k,
+            throughput=("Msamples_per_s", 8 * 65536))
+    # WPT output layouts: standalone forward pays the subband-major
+    # relayout; layout='interleaved' skips it. (Inside one fused
+    # forward->pointwise->inverse program XLA already cancels the two
+    # relayouts — measured identical — so the option matters exactly at
+    # jit/consumer boundaries, where coefficients are actually returned.)
+    if dev.platform != "cpu":
+        try_row("wpt_fwd_interleaved",
+                lambda a: jw.wpt(a, "Daubechies 4", 6, layout="interleaved"),
+                x, k=128, throughput=("Msamples_per_s", batch * n))
+        # fwt2d precision envelope (roofline: HIGHEST is MXU-compute-bound)
+        from jwave_tpu import config as _cfg
+
+        for dial in ("default", "high"):
+            _cfg.set_conv_precision(dial)
+            try:
+                dt2d = bench_op(
+                    lambda m: forward_2d(lambda v, level: fwt(v, "Daubechies 4", level), m, 6, 6),
+                    img, k=64)
+                details[f"fwt2d_db4_L6_2048_{dial}dial"] = {"ms": round(dt2d * 1e3, 3)}
+            finally:
+                _cfg.set_conv_precision("highest")
+
     # --- synchrosqueezed CWT (superset; CWT+derivative bank + dense reassign)
     try:
         xs8 = jax.device_put(jnp.asarray(rng.standard_normal((8, n)), dtype=jnp.float32))

@@ -231,10 +231,16 @@ def matching_pursuit(
     det = jnp.maximum(1.0 - cross**2, 1e-12)
     p_count = cos_a.shape[0]
 
+    # both correlations are REAL (real residual x real atoms), so one
+    # complex inverse FFT of the packed spectrum yields cc + i*cs — half
+    # the per-step FFT work of separate cc/cs transforms
+    pair_hat = c_hat + 1j * s_hat
+
     def step(r, _):
         R = _fft(r.astype(cdtype))[..., None, :]
-        cc = _ifft(R * c_hat).real  # (..., P, N): <r, gc shifted by p>
-        cs = _ifft(R * s_hat).real
+        z = _ifft(R * pair_hat)  # (..., P, N): cc + i*cs
+        cc = z.real  # <r, gc shifted by p>
+        cs = z.imag
         # projection energy onto span{gc_p, gs_p}: c^T G^-1 c with
         # G = [[1, cross], [cross, 1]]
         score = (cc**2 - 2.0 * cross * cc * cs + cs**2) / det

@@ -37,8 +37,16 @@ HBM_BW = 819e9
 MXU_F32_HIGHEST = 197e12 / 6.0
 MXU_BF16 = 197e12
 VPU_F32 = 7.7e12
+# attainable XLA complex-FFT rate on this backend, MICROBENCHMARKED on the
+# v5e (round 3): c64 FFT at (64, 65536) 0.96 T, (8, 256K) 0.92 T,
+# (272, 32768) 0.95 T, (1, 2M) 1.55 T, but (32768, 512) only 0.32 T —
+# FFT-dominated rows whose internal transforms shrink below ~4K points
+# (scattering's decimated grids, WVD's 512-bin lag FFTs) are bounded by
+# the backend's small-FFT rate, so their % of this 1.0 T anchor
+# understates attainable headroom. Anchor = the large-transform plateau.
+FFT_EFF = 1.0e12
 
-PEAKS = {"mxu": MXU_F32_HIGHEST, "mxu-bf16": MXU_BF16, "vpu": VPU_F32}
+PEAKS = {"mxu": MXU_F32_HIGHEST, "mxu-bf16": MXU_BF16, "vpu": VPU_F32, "fft": FFT_EFF}
 
 B, N = 64, 65536  # the 1D bench config
 F32 = 4
@@ -82,7 +90,7 @@ def modwt_fft_model():
     return {
         "flops": B * (_rfft_flops(N) + (j + 1) * _rfft_flops(N) + mults),
         "bytes": F32 * B * N * (1 + 6),
-        "engine": "vpu",
+        "engine": "fft",
         "note": "1 rfft + (J+1) irfft (telescoped) + pointwise spectra",
     }
 
@@ -115,27 +123,37 @@ def fwt1d_mxu_model():
 
 
 def fwt2d_model():
-    # separable 2048x2048 rectangle decomposition (ndim.forward_2d): a full
-    # 6-level 1D FWT along each axis, the other axis batched
-    n = 2048
-    m, levels = 8, 6
-    samples = 2 * n * sum(n >> l for l in range(levels))
+    # separable 2048x2048 rectangle decomposition via the fused MXU pyramid
+    # (ops.mxu_pyramid): per axis pass, split pair-tile butterflies at
+    # h = 2048/1024/512 (768 FLOPs per processed sample incl. structural
+    # zeros) + one dense (256,256) composed tail; each level materializes
+    # its output (read+write per level is the formulation's floor).
+    # The *algorithmic* one-pass bound (read+write the image once, conv
+    # FLOPs) is 0.04 ms — reachable only by a fully fused whole-transform
+    # kernel, not by any per-level XLA program.
+    n, levels = 2048, 6
+    split_h = [h for h in (2048, 1024, 512)]
+    flops = 2 * sum(n * h * 768 for h in split_h) + 2 * n * 256 * 2 * 256
+    bytes_ = 2 * F32 * n * (2 * (sum(split_h) + 256))
     return {
-        "flops": samples * m * 2,
-        "bytes": F32 * n * n * 2,
+        "flops": flops,
+        "bytes": bytes_,
         "engine": "mxu",
-        "note": "full multi-level FWT per axis (rectangle decomposition)",
+        "note": "fused pyramid: 3 split levels @768 FLOP/sample + dense tail, x2 axes",
     }
 
 
 def fwt3d_model():
-    n, m, levels = 256, 8, 4
-    samples = 3 * n * n * sum(n >> l for l in range(levels))
+    # 256^3, L=4 per axis: n = 256 <= DENSE_HEAD, so each axis pass is ONE
+    # dense (256,256) composed-pyramid matmul over 65536 rows
+    n = 256
+    flops = 3 * n * n * (2 * n * n)
+    bytes_ = 3 * F32 * n**3 * 2
     return {
-        "flops": samples * m * 2,
-        "bytes": F32 * n**3 * 2,
+        "flops": flops,
+        "bytes": bytes_,
         "engine": "mxu",
-        "note": "full multi-level FWT per axis + 2 transposes",
+        "note": "3 axis passes, each ONE dense 256x256 composed matmul",
     }
 
 
@@ -167,30 +185,136 @@ def wpt_mxu_model():
     }
 
 
+def scattering1d_model():
+    # reformulated per-band decimation (transforms/scattering.py): count
+    # the actual FFT work from the trace-time rate assignment
+    from jwave_tpu.transforms.scattering import scattering_filter_bank, _sigma_for
+
+    b, n, J, Q = 8, 65536, 8, 8
+    padded = 1 << (2 * n - 1).bit_length()
+    bank = scattering_filter_bank(padded, J, Q, 1)
+    sig1 = _sigma_for(bank.xi1, Q)
+    sig2 = _sigma_for(bank.xi2, 1)
+    cut2 = bank.xi2 + 8.0 * sig2
+    stride = 2**J
+
+    def rate_for(cut):
+        r = 1
+        while r * 2 <= stride and 1.0 / (2.0 * r * 2) >= cut:
+            r *= 2
+        return r
+
+    import numpy as np
+
+    r1 = np.array([
+        rate_for(max(cut2[bank.paths[bank.paths[:, 0] == k, 1]].max()
+                     if (bank.paths[:, 0] == k).any() else 0.0, 32.0 * sig1[k]))
+        for k in range(len(bank.xi1))
+    ])
+    rp = np.array([max(rate_for(cut2[k2]), r1[k1]) for k1, k2 in bank.paths])
+    f = _cfft_flops(padded)  # one FFT unit at full rate
+    units = 1 + 1  # X fft + s0 ifft
+    units += sum(3.0 / r for r in r1)          # u1 ifft + V1 fft + s1 ifft
+    units += sum(3.0 / r for r in rp)          # u2 ifft + fft + s2 ifft
+    mults = (len(bank.xi1) + len(bank.paths)) * padded * 6
+    out_bands = 1 + len(bank.xi1) + len(bank.paths)
+    return {
+        "flops": b * (units * f + mults),
+        "bytes": F32 * b * (n + out_bands * (n // stride))
+        + 8 * b * sum(padded / r for r in r1),  # c64 V1 intermediates
+        "engine": "fft",
+        "note": f"{units:.0f} full-rate FFT units after decimation (was {2 + 3 * len(bank.xi1) + 3 * len(bank.paths)})",
+    }
+
+
+def wvd_model():
+    b, n, nb = 8, 4096, 512
+    m = nb // 2 - 1
+    k_bytes = 8 * b * n * (2 * m + 1)  # c64 autocorrelation plane
+    return {
+        "flops": b * n * ((2 * m + 1) * 6 + _cfft_flops(nb)),
+        "bytes": 2 * k_bytes + F32 * b * nb * n,  # build + read K, write tfr
+        "engine": "fft",
+        "note": "2m+1 shifted-slice products + N lag FFTs of n_bins",
+    }
+
+
+def superlet_model():
+    # adaptive orders 1..16 over 64 freqs: each order transforms the freqs
+    # whose ramp reaches it -> sum(orders) CWT channels of the padded FFT
+    b, n, nf = 8, 16384, 64
+    orders = [round(1 + 15 * i / (nf - 1)) for i in range(nf)]
+    channels = sum(orders)
+    padded = 1 << (2 * n - 1).bit_length()
+    return {
+        "flops": b * (len(set(orders)) * _rfft_flops(padded)
+                      + channels * (_rfft_flops(padded) + padded * 6)),
+        "bytes": 8 * b * channels * padded + F32 * b * nf * n,
+        "engine": "fft",
+        "note": f"{channels} CWT channels across 16 orders (geometric mean)",
+    }
+
+
+def dtcwt1d_model():
+    # 2 trees x L levels of stride-2 10-tap convs on shrinking prefixes
+    b, n, m, levels = 8, 65536, 10, 6
+    h_total = sum(n >> l for l in range(levels))
+    return {
+        "flops": b * 2 * h_total * m * 2,
+        "bytes": F32 * b * n * 2,
+        "engine": "vpu",
+        "note": "2 trees of decimating q-shift convs",
+    }
+
+
+def denoise_modwt_model():
+    # forward MODWT L4 + MAD sigma + threshold + inverse. The transforms
+    # are MXU tile chains (measured alone: 0.045 ms at this batch), but the
+    # MAD noise estimate medians the finest band — a full sort, whose
+    # bitonic log^2(N) passes over HBM dominate the row.
+    from jwave_tpu.ops.mxu_modwt import mxu_tile_count
+
+    b, n, j = 8, 65536, 4
+    tiles = mxu_tile_count("db4", j, n)
+    rows = b * n // 128
+    sort_passes = 16 * 17 // 2  # bitonic stages for 2^16 elements
+    return {
+        "flops": 2 * rows * tiles * 128 * 128 * 2,
+        "bytes": F32 * b * n * (2 * (1 + j + 1)) + F32 * b * n * sort_passes,
+        "engine": "mxu",
+        "note": "MXU transform chains + MAD median (bitonic sort = the bytes)",
+    }
+
+
 def cwt_model():
     n, s = 1 << 20, 64
     mults = s * (n // 2 + 1) * 6
     return {
         "flops": _rfft_flops(n) + mults + s * _cfft_flops(n),
         "bytes": F32 * n + 8 * s * n,  # complex64 coefficients out
-        "engine": "vpu",
+        "engine": "fft",
         "note": "1 rfft + 64 pointwise + 64 complex iffts",
     }
 
 
 # measured per-application times (ms), python bench.py on the v5e (f32,
-# conv precision HIGHEST) — round 2, 2026-08-17
+# conv precision HIGHEST) — round 3, 2026-08-19
 MEASURED_MS = {
     "modwt_db4_L5 (MXU tiles)": (0.531, modwt_mxu_model),
     "modwt_db4_L5 (Pallas cascade)": (2.030, modwt_pallas_model),
     "modwt_db4_L5 (telescoped FFT)": (3.756, modwt_fft_model),
     "fwt1d_db4_L8 (conv)": (1.355, fwt1d_model),
-    "fwt1d_db4_L8 (MXU tiles)": (0.295, fwt1d_mxu_model),
-    "fwt2d_db4_L6_2048": (0.590, fwt2d_model),
-    "fwt3d_db4_L4_256": (4.227, fwt3d_model),
+    "fwt1d_db4_L8 (MXU tiles)": (0.298, fwt1d_mxu_model),
+    "fwt2d_db4_L6_2048": (0.570, fwt2d_model),
+    "fwt3d_db4_L4_256": (1.117, fwt3d_model),
     "wpt_db4_L6 (fused conv)": (1.202, wpt_model),
     "wpt_db4_L6 (MXU tiles)": (0.285, wpt_mxu_model),
     "cwt_morlet_64scales_1M": (13.37, cwt_model),
+    "scattering1d_J8_Q8_8x64K": (76.59, scattering1d_model),
+    "wvd_512bins_8x4K": (3.23, wvd_model),
+    "superlet_64f_o16_8x16K": (6.85, superlet_model),
+    "dtcwt1d_L6_8x64K": (0.038, dtcwt1d_model),  # probe value; the full-bench 0.014 is below timer resolution
+    "denoise_modwt_8x64K": (0.615, denoise_modwt_model),
 }
 
 BENCH_KEY_MAP = {
@@ -204,6 +328,11 @@ BENCH_KEY_MAP = {
     "wpt_db4_L6": "wpt_db4_L6 (MXU tiles)",
     "wpt_db4_L6_conv": "wpt_db4_L6 (fused conv)",
     "cwt_morlet_64scales_1M": "cwt_morlet_64scales_1M",
+    "scattering1d_J8_Q8_8x64K": "scattering1d_J8_Q8_8x64K",
+    "wvd_512bins_8x4K": "wvd_512bins_8x4K",
+    "superlet_64f_o16_8x16K": "superlet_64f_o16_8x16K",
+    "dtcwt1d_L6_8x64K": "dtcwt1d_L6_8x64K",
+    "denoise_modwt_8x64K": "denoise_modwt_8x64K",
 }
 
 
