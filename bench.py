@@ -70,6 +70,12 @@ def _once(run, x):
     return time.perf_counter() - t0
 
 
+def _once2(run, a, b):
+    t0 = time.perf_counter()
+    float(run(a, b))
+    return time.perf_counter() - t0
+
+
 def pallas_smoke():
     """Compiled-mode (not interpret) proof for the Pallas MODWT cascade.
 
@@ -324,6 +330,44 @@ def main():
                 details[f"fwt2d_db4_L6_2048_{dial}dial"] = {"ms": round(dt2d * 1e3, 3)}
             finally:
                 _cfg.set_conv_precision("highest")
+
+    # --- incremental sliding-window MODWT vs recompute-per-window --------
+    # the reference's sliding pattern (MODWTSlidingWindowTest.java:14-17):
+    # 512-sample window, 8 levels, slide 64 — recomputed per window there,
+    # O(S*M*J) incremental here (8 parallel streams)
+    try:
+        from jax import lax as _lax
+        from jwave_tpu.transforms.sliding import sliding_modwt_init, sliding_modwt_update
+
+        wlen, lvl, step, streams = 512, 8, 64, 8
+        sl_sig = jnp.asarray(rng.standard_normal((streams, wlen)), dtype=jnp.float32)
+        st0 = jax.device_put(sliding_modwt_init(sl_sig, "db4", lvl))
+        chunks = jax.device_put(
+            jnp.asarray(rng.standard_normal((1024, streams, step)), dtype=jnp.float32))
+
+        def chain_sliding(k):
+            @jax.jit
+            def run(st, ch):
+                def body(s, c):
+                    return sliding_modwt_update(s, c, "db4", lvl), ()
+                s, _ = _lax.scan(body, st, ch[:k])
+                return jnp.sum(s.coeffs)
+            return run
+
+        r1, rk = chain_sliding(1), chain_sliding(1024)
+        float(r1(st0, chunks)); float(rk(st0, chunks))
+        t1 = min(_once2(r1, st0, chunks) for _ in range(3))
+        tk = min(_once2(rk, st0, chunks) for _ in range(3))
+        dt_inc = max((tk - t1) / 1023, 1e-9)
+        # recompute baseline: a full 512-sample L8 MODWT per slide
+        dt_rec = bench_op(lambda a: jw.modwt(a, "db4", lvl).sum(axis=-2), sl_sig, k=128)
+        details["sliding_modwt_w512_L8_step64"] = {
+            "us_per_update": round(dt_inc * 1e6, 2),
+            "us_recompute_per_window": round(dt_rec * 1e6, 2),
+            "incremental_speedup": round(dt_rec / dt_inc, 1),
+        }
+    except Exception as e:
+        details["sliding_modwt_w512_L8_step64"] = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
 
     # --- synchrosqueezed CWT (superset; CWT+derivative bank + dense reassign)
     try:

@@ -115,11 +115,15 @@ def sliding_modwt_update(state: SlidingState, samples, wavelet, level: int) -> S
         stride = 1 << j
         need = _hist_len(m, j)
         ext = jnp.concatenate([state.hist[j], v], axis=-1)  # (..., need + S)
-        # tap gather: out[t] = sum_m f[m] * ext[need + t - m*stride]
-        idx = need + np.arange(s)[:, None] - stride * np.arange(m)[None, :]
-        taps = ext[..., idx]  # (..., S, M)
-        rows.append(taps @ hj)
-        v = taps @ gj
+        # out[t] = sum_m f[m] * ext[need + t - m*stride]: M shifted slices
+        # (contiguous reads; a (S, M) tap gather measured slower on TPU)
+        w_new = v_new = None
+        for tap in range(m):
+            seg = ext[..., need - tap * stride : need - tap * stride + s]
+            w_new = seg * hj[tap] if w_new is None else w_new + seg * hj[tap]
+            v_new = seg * gj[tap] if v_new is None else v_new + seg * gj[tap]
+        rows.append(w_new)
+        v = v_new
         new_hist.append(ext[..., ext.shape[-1] - need:])
     rows.append(v)
     cols = jnp.stack(rows, axis=-2)  # (..., J+1, S)
