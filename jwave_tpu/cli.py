@@ -58,7 +58,9 @@ def _list() -> int:
     print("\nanalysis API (import jwave_tpu): ssq_cwt, superlet, scattering1d/2d,")
     print("  vmd, ewt, matching_pursuit, dtcwt/dtcwt2d, denoise/denoise_dtcwt,")
     print("  modwt_mra, modwt_variance, hurst_exponent, best_basis(_2d),")
-    print("  xwt/wavelet_coherence, analytic_signal/instantaneous_frequency")
+    print("  xwt/wavelet_coherence, analytic_signal/instantaneous_frequency,")
+    print("  SlidingMODWT (incremental sliding-window analysis),")
+    print("  wpt(layout='interleaved') (relayout-free coefficient pipelines)")
     return 0
 
 
