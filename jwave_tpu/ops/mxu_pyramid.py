@@ -16,7 +16,7 @@ TPU formulation here:
    butterfly in SPLIT form (ops.mxu_butterfly.butterfly_forward_mxu_split):
    approx feeds the next level directly, detail blocks are parked —
    nothing is concatenated mid-pyramid.
-2. Once the head fits in DENSE_HEAD (= 2 lane tiles), ALL remaining levels
+2. Once the head fits in DENSE_HEAD (= 4 lane tiles), ALL remaining levels
    collapse into ONE dense (h, h) matrix: the pyramid restricted to a
    length-h prefix is a linear map, so the product of the per-level
    butterfly matrices (host-precomputed in f64, cached) finishes the
@@ -49,8 +49,12 @@ from .mxu_butterfly import (
     butterfly_reverse_mxu_parts,
 )
 
-#: head sizes at or below this are finished by one dense composed matmul
-DENSE_HEAD = 2 * LANES
+#: head sizes at or below this are finished by one dense composed matmul.
+#: 512 is FLOP-neutral vs splitting once more (dense (h,h) = 2h per sample;
+#: split@512 + dense@256 = 768 + 512/2 = 1024 = 2*512) but replaces ~5 ops
+#: with one matmul — measured on the v5e: fwt2d 0.591 -> 0.517 ms, fwt1d
+#: 0.294 -> 0.284 ms (1024 re-loses: 2048 > 1280 FLOPs per sample).
+DENSE_HEAD = 4 * LANES
 
 
 def _fb_bytes(f) -> bytes:

@@ -132,9 +132,9 @@ def fwt2d_model():
     # FLOPs) is 0.04 ms — reachable only by a fully fused whole-transform
     # kernel, not by any per-level XLA program.
     n, levels = 2048, 6
-    split_h = [h for h in (2048, 1024, 512)]
-    flops = 2 * sum(n * h * 768 for h in split_h) + 2 * n * 256 * 2 * 256
-    bytes_ = 2 * F32 * n * (2 * (sum(split_h) + 256))
+    split_h = [2048, 1024]  # DENSE_HEAD = 512: heads <= 512 fold densely
+    flops = 2 * sum(n * h * 768 for h in split_h) + 2 * n * 512 * 2 * 512
+    bytes_ = 2 * F32 * n * (2 * (sum(split_h) + 512))
     return {
         "flops": flops,
         "bytes": bytes_,
@@ -305,7 +305,7 @@ MEASURED_MS = {
     "modwt_db4_L5 (telescoped FFT)": (3.756, modwt_fft_model),
     "fwt1d_db4_L8 (conv)": (1.355, fwt1d_model),
     "fwt1d_db4_L8 (MXU tiles)": (0.298, fwt1d_mxu_model),
-    "fwt2d_db4_L6_2048": (0.570, fwt2d_model),
+    "fwt2d_db4_L6_2048": (0.517, fwt2d_model),
     "fwt3d_db4_L4_256": (1.117, fwt3d_model),
     "wpt_db4_L6 (fused conv)": (1.202, wpt_model),
     "wpt_db4_L6 (MXU tiles)": (0.285, wpt_mxu_model),
