@@ -52,6 +52,26 @@ def conv_precision():
     }[_CONV_PRECISION]
 
 
+_MXU_DFT = "auto"
+
+
+def set_mxu_dft(mode: str):
+    """Route small fixed-length DFTs (Wigner-Ville lag transforms,
+    scattering fft2 units) through dense MXU matmuls (ops.mxu_dft):
+    'auto' (TPU backends, N <= 512, f32/c64 — the default; the matmul
+    form measured faster than the XLA FFT engine there), 'on' (force on
+    any backend/dtype — tests use this on the f64 CPU backend), or 'off'
+    (always the XLA FFT form)."""
+    global _MXU_DFT
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"unknown mxu_dft mode {mode!r}")
+    _MXU_DFT = mode
+
+
+def mxu_dft() -> str:
+    return _MXU_DFT
+
+
 _MXU_BUTTERFLY = "auto"
 
 

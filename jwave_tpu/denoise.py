@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from .exceptions import JWaveFailure
 from .transforms.modwt import imodwt, modwt
+from .utils.select import median_abs
 
 
 def soft_threshold(c, tau):
@@ -28,8 +29,12 @@ def hard_threshold(c, tau):
 
 
 def mad_sigma(detail):
-    """Noise scale estimate: median(|W_1|) / 0.6745 (Donoho-Johnstone)."""
-    return jnp.median(jnp.abs(detail), axis=-1) / 0.6745
+    """Noise scale estimate: median(|W_1|) / 0.6745 (Donoho-Johnstone).
+
+    The median routes through radix-select on TPU (utils/select.py):
+    the full bitonic sort was the dominant cost of the denoise rows
+    (docs/PERFORMANCE.md), and the select returns the identical value."""
+    return median_abs(detail) / 0.6745
 
 
 def sure_threshold(band, sigma):
@@ -194,8 +199,8 @@ def denoise_dtcwt(img, levels: int = 4, sigma=None, window: int = 7):
     highs = res.highpasses
     if sigma is None:
         fine = highs[0]
-        flat = jnp.abs(fine.real).reshape(fine.shape[:-3] + (-1,))
-        sigma = jnp.median(flat, axis=-1) / 0.6745
+        flat = fine.real.reshape(fine.shape[:-3] + (-1,))
+        sigma = median_abs(flat) / 0.6745
     sigma = jnp.asarray(sigma)
     # noise power PER COMPLEX coefficient: the oriented packing is unitary
     # over the four orthonormal trees, so E|z_noise|^2 = 2 sigma^2 (each of

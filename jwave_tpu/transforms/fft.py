@@ -55,12 +55,20 @@ def _needs_bluestein(n: int) -> bool:
 def fft(z, axis: int = -1):
     """Forward FFT on complex input (forward unscaled — NumPy convention).
 
-    Non-power-of-two lengths on TPU backends route through
-    :func:`bluestein_fft` (the backend lacks mixed-radix kernels)."""
+    Non-power-of-two lengths on TPU backends route through the dense
+    MXU DFT when small (exact, and cheaper than chirp-z's two 2N pow-2
+    FFTs — ops/mxu_dft.py), else :func:`bluestein_fft` (the backend
+    lacks mixed-radix kernels)."""
     z = jnp.asarray(z)
     ax = axis if axis >= 0 else z.ndim + axis
-    if ax == z.ndim - 1 and _needs_bluestein(z.shape[-1]):
-        return _run_fft(("bfft", ax), bluestein_fft, z)
+    n = z.shape[ax]
+    if _needs_bluestein(n):
+        from ..ops import mxu_dft
+
+        if mxu_dft.eligible(n, z.dtype):
+            return _run_fft(("mmfft", ax), lambda a: mxu_dft.dft(a, axis=ax), z)
+        if ax == z.ndim - 1:
+            return _run_fft(("bfft", ax), bluestein_fft, z)
     return _run_fft(("fft", axis), lambda a: jnp.fft.fft(a, axis=axis), z)
 
 
@@ -68,8 +76,16 @@ def ifft(z, axis: int = -1):
     """Inverse FFT on complex input (scaled by 1/N)."""
     z = jnp.asarray(z)
     ax = axis if axis >= 0 else z.ndim + axis
-    if ax == z.ndim - 1 and _needs_bluestein(z.shape[-1]):
-        return _run_fft(("bifft", ax), lambda a: bluestein_fft(a, inverse=True), z)
+    n = z.shape[ax]
+    if _needs_bluestein(n):
+        from ..ops import mxu_dft
+
+        if mxu_dft.eligible(n, z.dtype):
+            return _run_fft(
+                ("mmifft", ax), lambda a: mxu_dft.dft(a, axis=ax, inverse=True), z
+            )
+        if ax == z.ndim - 1:
+            return _run_fft(("bifft", ax), lambda a: bluestein_fft(a, inverse=True), z)
     return _run_fft(("ifft", axis), lambda a: jnp.fft.ifft(a, axis=axis), z)
 
 

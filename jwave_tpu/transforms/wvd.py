@@ -10,9 +10,12 @@ with ssq_cwt (reassignment) and superlet (geometric-mean sharpening),
 this completes the classical TF-analysis toolbox.
 
 TPU formulation: the instantaneous autocorrelation
-``K[t, m] = z[t + m] conj(z)[t - m]`` is one gather with a STATIC
-(T, 2M+1) index matrix (no data-dependent addressing), the lag FFT is
-one batched pow-2 FFT, and both smoothing windows are elementwise or
+``K[t, m] = z[t + m] conj(z)[t - m]`` is Hermitian in the lag, so only
+its ``m >= 0`` half is materialized — as shifted-slice products of one
+zero-padded copy (contiguous reads; the former static gather measured
+~30x slower) — and the lag-to-frequency step is TWO real MXU matmuls
+(``ops/mxu_dft.hermitian_spectrum``, measured 4.4x the XLA FFT engine's
+rate at this shape); both smoothing windows are elementwise or
 small-kernel convolutions — everything batched over leading axes and
 jit/vmap/grad-compatible. The analytic signal is used (standard
 practice: it halves the cross-terms and removes negative-frequency
@@ -24,6 +27,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..exceptions import JWaveFailure
+from ..ops import mxu_dft
 from ..utils.numerics import next_power_of_two
 from .analytic import analytic_signal
 from .fft import fft as _fft
@@ -73,25 +77,28 @@ def wigner_ville(
 
     z = analytic_signal(x)
     # instantaneous autocorrelation K[t, j] = z[t + tau_j] conj(z[t - tau_j]),
-    # tau_j = j - m in [-m, m], zero outside the signal. Formulated as
-    # 2m+1 shifted-slice products of ONE zero-padded copy (out-of-range
-    # lags hit the pad) — contiguous reads the TPU vector units stream at
-    # HBM speed, where the former (N, 2m+1) gather ran ~30x slower
-    # (round-3 reformulation; measured in docs/PERFORMANCE.md).
+    # zero outside the signal. K is HERMITIAN in tau (K[-tau] = conj(K[tau])
+    # exactly, pad included), so only tau = 0..m is materialized — half the
+    # table build and half its HBM. Each lag is a shifted-slice product of
+    # ONE zero-padded copy (out-of-range lags hit the pad) — contiguous
+    # reads the TPU vector units stream at HBM speed, where the former
+    # (N, 2m+1) gather ran ~30x slower (round-3 reformulation; measured in
+    # docs/PERFORMANCE.md).
     pad = [(0, 0)] * (z.ndim - 1) + [(m, m)]
     zp = jnp.pad(z, pad)
-    tau = np.arange(-m, m + 1)
+    tau = np.arange(0, m + 1)
     K = jnp.stack(
         [
             zp[..., m + t : m + t + n] * jnp.conj(zp[..., m - t : m - t + n])
             for t in tau
         ],
         axis=-1,
-    )  # (..., N, 2m+1)
+    )  # (..., N, m+1) — lags 0..m
 
-    # lag window (pseudo smoothing): Gaussian over tau
+    # lag window (pseudo smoothing): Gaussian over tau (symmetric, so the
+    # windowed table stays Hermitian)
     if lag_window is None:
-        lw = np.hanning(2 * m + 3)[1:-1]
+        lw = np.hanning(2 * m + 3)[1:-1][m:]
     else:
         half = min(lag_window // 2, m)
         lw = np.exp(-0.5 * (tau / max(half / 2.0, 1.0)) ** 2)
@@ -109,13 +116,19 @@ def wigner_ville(
             Kp[..., i : i + n, :] * float(g[i]) for i in range(2 * ht + 1)
         )
 
-    # lag -> frequency: embed the (2m+1) lags at their circular positions
-    # in an n_bins FFT (tau >= 0 at [0..m], tau < 0 wrapped at the top)
-    lead = K.shape[:-1]
-    buf = jnp.zeros(lead + (n_bins,), dtype=K.dtype)
-    buf = buf.at[..., : m + 1].set(K[..., m:])
-    buf = buf.at[..., n_bins - m :].set(K[..., :m])
-    tfr = _fft(buf).real  # real: K is Hermitian in tau by construction
+    # lag -> frequency. The spectrum of a Hermitian lag sequence is REAL
+    # and needs only the tau >= 0 half: two real (.., m+1) x (m+1, n_bins)
+    # matmuls on the MXU (ops/mxu_dft.hermitian_spectrum) — measured ~5x
+    # the XLA FFT engine's rate at this shape (tools/dft_crossover.py).
+    # `config.set_mxu_dft('off')` restores the circular-buffer FFT form.
+    if mxu_dft.eligible(n_bins, K.dtype, max_n=1024):
+        tfr = mxu_dft.hermitian_spectrum(K, n_bins)
+    else:
+        lead = K.shape[:-1]
+        buf = jnp.zeros(lead + (n_bins,), dtype=K.dtype)
+        buf = buf.at[..., : m + 1].set(K)
+        buf = buf.at[..., n_bins - m :].set(jnp.conj(K[..., 1:][..., ::-1]))
+        tfr = _fft(buf).real  # real: K is Hermitian in tau by construction
     tfr = jnp.moveaxis(tfr, -1, -2)  # (..., n_bins, N)
     # analytic-signal WVD: bins k cover [0, fs) at spacing fs/(2 n_bins)?
     # No: lag steps are 1 sample of z(t +- tau) => frequency axis spans

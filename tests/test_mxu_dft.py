@@ -1,0 +1,161 @@
+"""ops/mxu_dft — dense MXU DFT forms vs the FFT oracle (float64 CPU).
+
+The matmul-DFT layer exists because the TPU's FFT engine runs at
+~0.3 TFLOP/s on batched small transforms while the MXU runs at 35+
+(docs/PERFORMANCE.md, tools/dft_crossover.py); these gates pin each
+structured form to numpy's FFT at float64 so the fast path is the SAME
+linear operator, merely reassociated.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from jwave_tpu import config
+from jwave_tpu.ops import mxu_dft as M
+
+
+@pytest.fixture
+def z(rng):
+    return rng.standard_normal((3, 5, 96)) + 1j * rng.standard_normal((3, 5, 96))
+
+
+class TestDenseDFT:
+    def test_forward_matches_fft(self, z):
+        got = np.asarray(M.dft(jnp.asarray(z)))
+        np.testing.assert_allclose(got, np.fft.fft(z, axis=-1), atol=1e-11)
+
+    def test_inverse_matches_ifft(self, z):
+        got = np.asarray(M.dft(jnp.asarray(z), inverse=True))
+        np.testing.assert_allclose(got, np.fft.ifft(z, axis=-1), atol=1e-12)
+
+    def test_roundtrip(self, z):
+        got = np.asarray(M.dft(M.dft(jnp.asarray(z)), inverse=True))
+        np.testing.assert_allclose(got, z, atol=1e-11)
+
+    def test_interior_axis(self, z):
+        got = np.asarray(M.dft(jnp.asarray(z), axis=-2))
+        np.testing.assert_allclose(got, np.fft.fft(z, axis=-2), atol=1e-12)
+
+    def test_non_power_of_two(self, rng):
+        w = rng.standard_normal((4, 35)) + 1j * rng.standard_normal((4, 35))
+        got = np.asarray(M.dft(jnp.asarray(w)))
+        np.testing.assert_allclose(got, np.fft.fft(w, axis=-1), atol=1e-12)
+
+    def test_out_indices_subsample(self, z):
+        idx = np.arange(0, 96, 8)
+        got = np.asarray(M.dft(jnp.asarray(z), inverse=True, out_indices=idx))
+        np.testing.assert_allclose(
+            got, np.fft.ifft(z, axis=-1)[..., idx], atol=1e-12
+        )
+
+    def test_out_indices_crop(self, z):
+        idx = np.arange(7)
+        got = np.asarray(M.dft(jnp.asarray(z), out_indices=idx))
+        np.testing.assert_allclose(got, np.fft.fft(z, axis=-1)[..., idx], atol=1e-11)
+
+
+class TestStructuredForms:
+    def test_real_input(self, rng):
+        x = rng.standard_normal((2, 7, 64))
+        got = np.asarray(M.dft_real_input(jnp.asarray(x)))
+        np.testing.assert_allclose(got, np.fft.fft(x, axis=-1), atol=1e-12)
+
+    def test_real_input_interior_axis(self, rng):
+        x = rng.standard_normal((2, 48, 5))
+        got = np.asarray(M.dft_real_input(jnp.asarray(x), axis=-2))
+        np.testing.assert_allclose(got, np.fft.fft(x, axis=-2), atol=1e-12)
+
+    def test_real_output(self, z):
+        got = np.asarray(M.dft_real_output(jnp.asarray(z), inverse=True))
+        np.testing.assert_allclose(got, np.fft.ifft(z, axis=-1).real, atol=1e-12)
+
+    def test_hermitian_spectrum(self, rng):
+        m, n_bins = 21, 64
+        K = rng.standard_normal((2, 9, m + 1)) + 1j * rng.standard_normal((2, 9, m + 1))
+        K[..., 0] = K[..., 0].real  # lag 0 of an autocorrelation is real
+        buf = np.zeros((2, 9, n_bins), dtype=complex)
+        buf[..., : m + 1] = K
+        buf[..., n_bins - m :] = np.conj(K[..., 1:][..., ::-1])
+        want = np.fft.fft(buf, axis=-1).real
+        got = np.asarray(M.hermitian_spectrum(jnp.asarray(K), n_bins))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_hermitian_spectrum_rejects_overlong_lags(self, rng):
+        K = jnp.asarray(rng.standard_normal((4, 33)) + 0j)
+        with pytest.raises(ValueError):
+            M.hermitian_spectrum(K, 64)
+
+
+class TestRouting:
+    def test_off_disables(self):
+        config.set_mxu_dft("off")
+        try:
+            assert not M.eligible(128, jnp.complex64)
+        finally:
+            config.set_mxu_dft("auto")
+
+    def test_on_forces(self):
+        config.set_mxu_dft("on")
+        try:
+            assert M.eligible(1 << 20, jnp.complex128)
+        finally:
+            config.set_mxu_dft("auto")
+
+    def test_auto_is_backend_gated_on_cpu(self):
+        # the test suite runs on the CPU backend: auto must say no
+        assert not M.eligible(512, jnp.complex64)
+
+    def test_bad_mode_rejected(self):
+        with pytest.raises(ValueError):
+            config.set_mxu_dft("fast")
+
+
+class TestConsumers:
+    """The routed transforms must be the same operator on every path."""
+
+    def test_wigner_ville_hermitian_path_matches_fft_path(self, rng):
+        import jwave_tpu as jw
+
+        x = jnp.asarray(rng.standard_normal((2, 256)))
+        config.set_mxu_dft("on")
+        try:
+            tfr_mm, f_mm = jw.wigner_ville(x, n_bins=64)
+        finally:
+            config.set_mxu_dft("auto")
+        tfr_fft, f_fft = jw.wigner_ville(x, n_bins=64)  # cpu auto -> fft path
+        np.testing.assert_allclose(np.asarray(tfr_mm), np.asarray(tfr_fft), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(f_mm), np.asarray(f_fft))
+
+    def test_scattering1d_composed_lowpass_matches_spectral(self, rng):
+        import jwave_tpu as jw
+
+        x = jnp.asarray(rng.standard_normal((2, 1024)))
+        r_new = jw.scattering1d(x, J=5, Q=2)
+        config.set_mxu_dft("off")
+        try:
+            r_old = jw.scattering1d(x, J=5, Q=2)
+        finally:
+            config.set_mxu_dft("auto")
+        for name in ("S0", "S1", "S2"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(r_new, name)),
+                np.asarray(getattr(r_old, name)),
+                atol=1e-12,
+            )
+
+    def test_scattering2d_composed_lowpass_matches_spectral(self, rng):
+        import jwave_tpu as jw
+
+        img = jnp.asarray(rng.standard_normal((2, 32, 32)))
+        r_new = jw.scattering2d(img, J=2, L=4)
+        config.set_mxu_dft("off")
+        try:
+            r_old = jw.scattering2d(img, J=2, L=4)
+        finally:
+            config.set_mxu_dft("auto")
+        for name in ("S0", "S1", "S2"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(r_new, name)),
+                np.asarray(getattr(r_old, name)),
+                atol=1e-12,
+            )
