@@ -44,16 +44,40 @@ def kth_smallest_nonneg(a, ks):
     return tuple(jax.lax.bitcast_convert_type(p, a.dtype) for p in prefixes)
 
 
+@jax.custom_jvp
 def median_nonneg(a):
     """Median of non-negative ``a`` along the last axis, ``jnp.median``
     semantics (even N averages the two middle elements) — but via
-    radix-select: fixed streaming passes instead of a bitonic sort."""
+    radix-select: fixed streaming passes instead of a bitonic sort.
+
+    Differentiable like the sort median (``bitcast_convert_type`` has no
+    gradient, so a custom JVP re-derives it): the tangent of each selected
+    order statistic is the mean tangent over elements equal to it — under
+    ties that is the average subgradient where the sort path would pick
+    one arbitrary tie, an equally valid (and permutation-equivariant)
+    choice."""
     n = a.shape[-1]
     if n % 2:
         (v,) = kth_smallest_nonneg(a, (n // 2,))
         return v
     lo, hi = kth_smallest_nonneg(a, ((n - 1) // 2, n // 2))
     return (lo + hi) / 2
+
+
+@median_nonneg.defjvp
+def _median_nonneg_jvp(primals, tangents):
+    (a,), (da,) = primals, tangents
+
+    def stat_tangent(v):
+        m = (a == v[..., None]).astype(a.dtype)
+        return jnp.sum(da * m, axis=-1) / jnp.sum(m, axis=-1)
+
+    n = a.shape[-1]
+    if n % 2:
+        (v,) = kth_smallest_nonneg(a, (n // 2,))
+        return v, stat_tangent(v)
+    lo, hi = kth_smallest_nonneg(a, ((n - 1) // 2, n // 2))
+    return (lo + hi) / 2, (stat_tangent(lo) + stat_tangent(hi)) / 2
 
 
 def median_abs(a, force: bool | None = None):

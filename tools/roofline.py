@@ -213,29 +213,66 @@ def scattering1d_model():
     ])
     rp = np.array([max(rate_for(cut2[k2]), r1[k1]) for k1, k2 in bank.paths])
     f = _cfft_flops(padded)  # one FFT unit at full rate
-    units = 1 + 1  # X fft + s0 ifft
-    units += sum(3.0 / r for r in r1)          # u1 ifft + V1 fft + s1 ifft
-    units += sum(3.0 / r for r in rp)          # u2 ifft + fft + s2 ifft
+    max_lp = 16384  # scattering.MAX_LOWPASS_M: composed-matmul gate
+    frames = -(-n // stride)
+    units = 1 + 1  # X fft + s0 ifft (full grid: above the matmul gate)
+    mm = 0.0  # composed sampled-circulant lowpass matmul FLOPs
+    for r in r1:  # u1 ifft + V1 fft (+ s1 ifft where the matmul can't bake)
+        units += 2.0 / r + (1.0 / r if padded // r > max_lp else 0.0)
+        if padded // r <= max_lp:
+            mm += (padded // r) * frames * 2
+    for r in rp:  # u2 ifft (+ fft + s2 ifft where the matmul can't bake)
+        units += 1.0 / r + (2.0 / r if padded // r > max_lp else 0.0)
+        if padded // r <= max_lp:
+            mm += (padded // r) * frames * 2
     mults = (len(bank.xi1) + len(bank.paths)) * padded * 6
     out_bands = 1 + len(bank.xi1) + len(bank.paths)
+    # mm runs on the MXU: convert to FFT-engine-equivalent time (the model
+    # is single-engine; at 35.6 T the matmuls are ~3% of the row)
+    mm *= FFT_EFF / MXU_F32_HIGHEST
     return {
-        "flops": b * (units * f + mults),
+        "flops": b * (units * f + mults + mm),
         "bytes": F32 * b * (n + out_bands * (n // stride))
         + 8 * b * sum(padded / r for r in r1),  # c64 V1 intermediates
         "engine": "fft",
-        "note": f"{units:.0f} full-rate FFT units after decimation (was {2 + 3 * len(bank.xi1) + 3 * len(bank.paths)})",
+        "note": f"{units:.0f} full-rate FFT units after decimation + composed lowpass (was {2 + 3 * len(bank.xi1) + 3 * len(bank.paths)} pre-round-3)",
     }
 
 
 def wvd_model():
+    # round-3 Hermitian reformulation: only the tau>=0 half of the lag
+    # table is built (m+1 shifted-slice products) and the real spectrum
+    # comes from TWO (m+1, n_bins) MXU matmuls (ops/mxu_dft.py)
     b, n, nb = 8, 4096, 512
     m = nb // 2 - 1
-    k_bytes = 8 * b * n * (2 * m + 1)  # c64 autocorrelation plane
+    k_bytes = 8 * b * n * (m + 1)  # c64 half-plane autocorrelation
     return {
-        "flops": b * n * ((2 * m + 1) * 6 + _cfft_flops(nb)),
+        "flops": b * n * ((m + 1) * 6 + 4 * (m + 1) * nb),
         "bytes": 2 * k_bytes + F32 * b * nb * n,  # build + read K, write tfr
+        "engine": "mxu",
+        "note": "m+1 shifted-slice products + Hermitian 2-matmul spectrum",
+    }
+
+
+def scattering2d_model():
+    # 256^2 image -> 512^2 padded grid, J=3, L=8: after the composed-
+    # lowpass reassociation the FFT work is X(1) + u1 ifft2(JL) +
+    # V1 fft2(JL) + u2 ifft2(P2) full-size units; every s0/s1/s2 output
+    # is two skinny sampled-circulant matmuls (rows/cols = 32 of 512)
+    py = px = 512
+    jl, p2, frames = 24, 192, 32
+    fft2_unit = 2 * py * _cfft_flops(px)  # both axes, one 512^2 plane
+    units = 1 + jl + jl + p2
+    mults = (jl + p2) * py * px * 6
+    # the skinny lowpass matmuls run on the MXU, not the FFT engine:
+    # convert their FLOPs to FFT-engine-equivalent time for the 1-engine SoL
+    lp = (1 + jl + p2) * (py * px * frames + frames * px * frames) * 2
+    lp_eq = lp * (FFT_EFF / MXU_F32_HIGHEST)
+    return {
+        "flops": units * fft2_unit + mults + lp_eq,
+        "bytes": 8 * (jl + p2) * py * px * 2 + F32 * (1 + jl + p2) * frames**2,
         "engine": "fft",
-        "note": "2m+1 shifted-slice products + N lag FFTs of n_bins",
+        "note": f"{units} full fft2 units (was 650 pre-reassociation) + skinny lowpass matmuls",
     }
 
 
@@ -269,20 +306,21 @@ def dtcwt1d_model():
 
 def denoise_modwt_model():
     # forward MODWT L4 + MAD sigma + threshold + inverse. The transforms
-    # are MXU tile chains (measured alone: 0.045 ms at this batch), but the
-    # MAD noise estimate medians the finest band — a full sort, whose
-    # bitonic log^2(N) passes over HBM dominate the row.
+    # are MXU tile chains (measured alone: 0.045 ms at this batch); the
+    # MAD median runs radix-select (utils/select.py, round 3): 32 bit
+    # passes x 2 order statistics, each a streaming compare+count — where
+    # the former bitonic sort paid ~log^2(N) = 136 passes over HBM.
     from jwave_tpu.ops.mxu_modwt import mxu_tile_count
 
     b, n, j = 8, 65536, 4
     tiles = mxu_tile_count("db4", j, n)
     rows = b * n // 128
-    sort_passes = 16 * 17 // 2  # bitonic stages for 2^16 elements
+    select_passes = 32  # one read per radix bit (both counts share it)
     return {
         "flops": 2 * rows * tiles * 128 * 128 * 2,
-        "bytes": F32 * b * n * (2 * (1 + j + 1)) + F32 * b * n * sort_passes,
+        "bytes": F32 * b * n * (2 * (1 + j + 1)) + F32 * b * n * select_passes,
         "engine": "mxu",
-        "note": "MXU transform chains + MAD median (bitonic sort = the bytes)",
+        "note": "MXU transform chains + radix-select MAD (32 streaming passes)",
     }
 
 
@@ -310,11 +348,12 @@ MEASURED_MS = {
     "wpt_db4_L6 (fused conv)": (1.202, wpt_model),
     "wpt_db4_L6 (MXU tiles)": (0.285, wpt_mxu_model),
     "cwt_morlet_64scales_1M": (13.37, cwt_model),
-    "scattering1d_J8_Q8_8x64K": (76.59, scattering1d_model),
-    "wvd_512bins_8x4K": (3.23, wvd_model),
+    "scattering1d_J8_Q8_8x64K": (74.32, scattering1d_model),
+    "scattering2d_J3_L8_256": (27.16, scattering2d_model),
+    "wvd_512bins_8x4K": (1.167, wvd_model),
     "superlet_64f_o16_8x16K": (6.85, superlet_model),
     "dtcwt1d_L6_8x64K": (0.038, dtcwt1d_model),  # probe value; the full-bench 0.014 is below timer resolution
-    "denoise_modwt_8x64K": (0.615, denoise_modwt_model),
+    "denoise_modwt_8x64K": (0.135, denoise_modwt_model),
 }
 
 BENCH_KEY_MAP = {
@@ -329,6 +368,7 @@ BENCH_KEY_MAP = {
     "wpt_db4_L6_conv": "wpt_db4_L6 (fused conv)",
     "cwt_morlet_64scales_1M": "cwt_morlet_64scales_1M",
     "scattering1d_J8_Q8_8x64K": "scattering1d_J8_Q8_8x64K",
+    "scattering2d_J3_L8_256": "scattering2d_J3_L8_256",
     "wvd_512bins_8x4K": "wvd_512bins_8x4K",
     "superlet_64f_o16_8x16K": "superlet_64f_o16_8x16K",
     "dtcwt1d_L6_8x64K": "dtcwt1d_L6_8x64K",
