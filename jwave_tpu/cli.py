@@ -22,6 +22,46 @@ if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
+def _ensure_backend(wait_s: float = 30.0):
+    """Fail fast if JAX backend init hangs (a dead tunneled-TPU relay can
+    block `jax.devices()` for many minutes — a first-touch user would see a
+    silent hang; bench.py:115-147 carries the same diagnostic for the
+    driver). Probes device init in a daemon thread with a bounded wait and
+    exits with a hint instead of hanging.
+    """
+    import threading
+
+    result: dict = {}
+
+    def probe():
+        try:
+            import jax
+
+            result["dev"] = jax.devices()[0]
+        except Exception as e:  # init failed outright — report, don't hang
+            result["err"] = e
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(wait_s)
+    if t.is_alive():
+        print(
+            f"error: JAX backend initialization did not finish within {wait_s:.0f}s\n"
+            "       (a tunneled TPU relay may be unreachable).\n"
+            "hint:  re-run with JAX_PLATFORMS=cpu to use the CPU backend, e.g.\n"
+            "       JAX_PLATFORMS=cpu python -m jwave_tpu",
+            file=sys.stderr,
+        )
+        os._exit(2)  # the probe thread is stuck inside native init; exit(2) is the clean option
+    if "err" in result:
+        print(
+            f"error: JAX backend initialization failed: {result['err']}\n"
+            "hint:  re-run with JAX_PLATFORMS=cpu to use the CPU backend",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+
+
 def _demo(transform_name: str, wavelet_name: str) -> int:
     from .api import TransformBuilder
 
@@ -100,7 +140,9 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     try:
         if args.transform == "list":
-            return _list()
+            return _list()  # no backend touch needed
+        wait = float(os.environ.get("JWAVE_BACKEND_WAIT_S", "30"))
+        _ensure_backend(wait)
         if args.transform == "bench":
             return _bench()
         if args.transform == "denoise":

@@ -176,6 +176,143 @@ def butterfly_forward_mxu_split(x, dec_lo, dec_hi, precision=None):
     return a, d
 
 
+def dual_butterfly_forward_mxu(xa, xb, filters_a, filters_b, precision=None):
+    """TWO analysis butterflies with DIFFERENT filter banks in ONE matmul
+    round per tile-pair term — the DTCWT inner loop (transforms/dtcwt.py).
+
+    The dual-tree levels are latency-bound, not FLOP-bound: at the bench
+    shape each tree's per-level matmul is a skinny (B*to, 256) x (256, 128)
+    that leaves the MXU idle between issues, so halving the number of
+    matmul rounds (trees share the LHS rows, the two banks ride as extra
+    RHS columns) buys wall clock even though each op now does both banks'
+    FLOPs. Returns ((a_a, d_a), (a_b, d_b)) as separate (..., h/2) arrays.
+    """
+    if precision is None:
+        precision = _config.conv_precision()
+    h = xa.shape[-1]
+    lead = xa.shape[:-1]
+    if h <= LANES:
+        wa = _dense_for(filters_a[0], filters_a[1], h)
+        wb = _dense_for(filters_b[0], filters_b[1], h)
+        w = jnp.asarray(np.concatenate([wa, wb], axis=1), xa.dtype)  # (h, 2h)
+        fa, fb = xa.reshape(-1, h), xb.reshape(-1, h)
+        bt = fa.shape[0]
+        out = _dot(jnp.concatenate([fa, fb], axis=0), w, precision).astype(xa.dtype)
+        half = h // 2
+        ya = out[:bt, :h].reshape(lead + (h,))
+        yb = out[bt:, h:].reshape(lead + (h,))
+        return ((ya[..., :half], ya[..., half:]), (yb[..., :half], yb[..., half:]))
+    to = h // (2 * LANES)
+    bank_a = _bank_for(*filters_a)
+    bank_b = _bank_for(*filters_b)
+    e_count = max(bank_a.shape[0], bank_b.shape[0])
+
+    def pad(bk):
+        if bk.shape[0] == e_count:
+            return bk
+        return np.concatenate([bk, np.zeros((e_count - bk.shape[0],) + bk.shape[1:])])
+
+    bank_a, bank_b = pad(bank_a), pad(bank_b)
+    xp = jnp.concatenate(
+        [xa.reshape((-1, to, 2 * LANES)), xb.reshape((-1, to, 2 * LANES))], axis=0
+    )  # (2B, to, 256) — tree A rows first
+    b2 = xp.shape[0]
+    acc = None
+    for s in range(e_count // 2):
+        # e = 2s, 2s+1 together; RHS columns [A_lo | A_hi | B_lo | B_hi]
+        w = np.concatenate([
+            np.concatenate([bank_a[2 * s], bank_a[2 * s + 1]]),
+            np.concatenate([bank_b[2 * s], bank_b[2 * s + 1]]),
+        ], axis=1)  # (256, 512)
+        src = (jnp.roll(xp, -s, axis=1) if s else xp).reshape(-1, 2 * LANES)
+        t = _dot(src, jnp.asarray(w, xa.dtype), precision)
+        acc = t if acc is None else acc + t
+    if e_count % 2:
+        s = e_count // 2
+        tail = jnp.roll(xp, -s, axis=1)[:, :, :LANES].reshape(-1, LANES)
+        w = np.concatenate([bank_a[e_count - 1], bank_b[e_count - 1]], axis=1)
+        t = _dot(tail, jnp.asarray(w, xa.dtype), precision)
+        acc = t if acc is None else acc + t
+    acc = acc.astype(xa.dtype).reshape(b2, to, 4 * LANES)
+    bt = b2 // 2
+    half = lead + (to * LANES,)
+    a_a = acc[:bt, :, :LANES].reshape(half)
+    d_a = acc[:bt, :, LANES : 2 * LANES].reshape(half)
+    a_b = acc[bt:, :, 2 * LANES : 3 * LANES].reshape(half)
+    d_b = acc[bt:, :, 3 * LANES :].reshape(half)
+    return ((a_a, d_a), (a_b, d_b))
+
+
+def dual_butterfly_reverse_mxu(parts_a, parts_b, filters_a, filters_b, precision=None):
+    """TWO synthesis butterflies with DIFFERENT banks in ONE matmul round
+    per tile term — adjoint counterpart of
+    :func:`dual_butterfly_forward_mxu` for the DTCWT inverse.
+
+    ``parts_a``/``parts_b`` are (approx, detail) pairs of (..., h/2) arrays;
+    returns (xa, xb) reconstructions of shape (..., h).
+    """
+    if precision is None:
+        precision = _config.conv_precision()
+    a_a, d_a = parts_a
+    a_b, d_b = parts_b
+    half = a_a.shape[-1]
+    h = 2 * half
+    lead = a_a.shape[:-1]
+    if h <= LANES:
+        wa = _dense_for(filters_a[0], filters_a[1], h).T
+        wb = _dense_for(filters_b[0], filters_b[1], h).T
+        w = jnp.asarray(np.concatenate([wa, wb], axis=1), a_a.dtype)  # (h, 2h)
+        ya = jnp.concatenate([a_a, d_a], axis=-1).reshape(-1, h)
+        yb = jnp.concatenate([a_b, d_b], axis=-1).reshape(-1, h)
+        bt = ya.shape[0]
+        out = _dot(jnp.concatenate([ya, yb], axis=0), w, precision).astype(a_a.dtype)
+        return out[:bt, :h].reshape(lead + (h,)), out[bt:, h:].reshape(lead + (h,))
+    to = h // (2 * LANES)
+    bank_a = _bank_for(*filters_a)
+    bank_b = _bank_for(*filters_b)
+    e_count = max(bank_a.shape[0], bank_b.shape[0])
+
+    def pad(bk):
+        if bk.shape[0] == e_count:
+            return bk
+        return np.concatenate([bk, np.zeros((e_count - bk.shape[0],) + bk.shape[1:])])
+
+    bank_a, bank_b = pad(bank_a), pad(bank_b)
+    za = jnp.concatenate(
+        [a_a.reshape(-1, to, LANES), d_a.reshape(-1, to, LANES)], axis=-1)
+    zb = jnp.concatenate(
+        [a_b.reshape(-1, to, LANES), d_b.reshape(-1, to, LANES)], axis=-1)
+    z = jnp.concatenate([za, zb], axis=0).reshape(-1, 2 * LANES)  # A rows first
+    bt = za.shape[0]
+    b2 = 2 * bt
+    acc = None
+    for s in range(e_count // 2):
+        # V pair blocks for both banks side by side: (256, 512)
+        v = np.concatenate([
+            np.concatenate([bank_a[2 * s].T, bank_a[2 * s + 1].T], axis=1),
+            np.concatenate([bank_b[2 * s].T, bank_b[2 * s + 1].T], axis=1),
+        ], axis=1)
+        u = _dot(z, jnp.asarray(v, a_a.dtype), precision).astype(a_a.dtype)
+        u = u.reshape(b2, to, 4 * LANES)
+        ua = u[..., : 2 * LANES]
+        ub = u[..., 2 * LANES :]
+        u2 = jnp.concatenate([ua[:bt], ub[bt:]], axis=0)  # each tree its own bank
+        u2 = jnp.roll(u2, s, axis=1) if s else u2
+        acc = u2 if acc is None else acc + u2
+    if e_count % 2:
+        s = e_count // 2
+        v = np.concatenate([bank_a[e_count - 1].T, bank_b[e_count - 1].T], axis=1)
+        u = _dot(z, jnp.asarray(v, a_a.dtype), precision).astype(a_a.dtype)
+        u = u.reshape(b2, to, 2 * LANES)
+        u2 = jnp.concatenate([u[:bt, :, :LANES], u[bt:, :, LANES:]], axis=0)
+        exp = jnp.concatenate([u2, jnp.zeros_like(u2)], axis=-1)
+        acc_t = jnp.roll(exp, s, axis=1)
+        acc = acc_t if acc is None else acc + acc_t
+    xa = acc[:bt].reshape(lead + (h,))
+    xb = acc[bt:].reshape(lead + (h,))
+    return xa, xb
+
+
 def butterfly_reverse_mxu(y, rec_lo, rec_hi, recon_gain: float = 1.0, precision=None):
     """Synthesis butterfly (adjoint of the analysis tiles, rec filters).
 

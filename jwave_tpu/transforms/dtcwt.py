@@ -40,7 +40,13 @@ import jax.numpy as jnp
 from ..exceptions import JWaveFailure
 from ..filters import get_filter
 from ..filters.qshift import qshift_filters
-from ..ops.butterfly import butterfly_forward, butterfly_reverse, ensure_float
+from ..ops.butterfly import (
+    butterfly_forward,
+    butterfly_reverse,
+    dual_butterfly_forward,
+    dual_butterfly_reverse,
+    ensure_float,
+)
 
 _SQRT2 = math.sqrt(2.0)
 
@@ -103,19 +109,21 @@ def dtcwt(signal, levels: int, level1_wavelet: str = "sym4") -> DTCWTResult:
     fb = get_filter(level1_wavelet)
     (h0a, h1a), (h0b, h1b) = qshift_filters()
 
-    # level 1: tree B sees the signal advanced one sample
-    ya = butterfly_forward(x, fb.dec_lo, fb.dec_hi)
-    yb = butterfly_forward(jnp.roll(x, -1, axis=-1), fb.dec_lo, fb.dec_hi)
+    # level 1: tree B sees the signal advanced one sample — SAME bank, so
+    # the two trees ride one butterfly as an extra leading batch axis
+    xx = jnp.stack([x, jnp.roll(x, -1, axis=-1)], axis=0)  # (2, ..., N)
+    yy = butterfly_forward(xx, fb.dec_lo, fb.dec_hi)
     half = x.shape[-1] // 2
-    la, da = ya[..., :half], ya[..., half:]
-    lb, db = yb[..., :half], yb[..., half:]
+    la, da = yy[0, ..., :half], yy[0, ..., half:]
+    lb, db = yy[1, ..., :half], yy[1, ..., half:]
     highs = [jax.lax.complex(da, db) / _SQRT2]
     for _ in range(1, levels):
-        ya = butterfly_forward(la, h0a, h1a)
-        yb = butterfly_forward(lb, h0b, h1b)
+        # q-shift levels: DIFFERENT banks per tree — one fused dual round
+        # (the per-level matmuls are latency-bound; see ops.mxu_butterfly.
+        # dual_butterfly_forward_mxu)
+        (la, da), (lb, db) = dual_butterfly_forward(
+            la, lb, (h0a, h1a), (h0b, h1b))
         half //= 2
-        la, da = ya[..., :half], ya[..., half:]
-        lb, db = yb[..., :half], yb[..., half:]
         highs.append(jax.lax.complex(da, db) / _SQRT2)
     low = jnp.stack([la, lb], axis=-2)
     return DTCWTResult(tuple(highs), low, level1_wavelet)
@@ -130,14 +138,16 @@ def idtcwt(result: DTCWTResult) -> jnp.ndarray:
     lb = result.lowpasses[..., 1, :]
     for j in range(result.levels - 1, 0, -1):
         w = result.highpasses[j] * _SQRT2
-        la = butterfly_reverse(jnp.concatenate([la, w.real], axis=-1), h0a, h1a, 1.0)
-        lb = butterfly_reverse(jnp.concatenate([lb, w.imag], axis=-1), h0b, h1b, 1.0)
+        la, lb = dual_butterfly_reverse(
+            (la, w.real), (lb, w.imag), (h0a, h1a), (h0b, h1b))
+    # level 1: same bank for both trees — one batched synthesis butterfly
     w = result.highpasses[0] * _SQRT2
-    xa = butterfly_reverse(jnp.concatenate([la, w.real], axis=-1),
-                           fb.rec_lo, fb.rec_hi, fb.recon_gain)
-    xb = butterfly_reverse(jnp.concatenate([lb, w.imag], axis=-1),
-                           fb.rec_lo, fb.rec_hi, fb.recon_gain)
-    return 0.5 * (xa + jnp.roll(xb, 1, axis=-1))
+    yy = jnp.stack([
+        jnp.concatenate([la, w.real], axis=-1),
+        jnp.concatenate([lb, w.imag], axis=-1),
+    ], axis=0)
+    xx = butterfly_reverse(yy, fb.rec_lo, fb.rec_hi, fb.recon_gain)
+    return 0.5 * (xx[0] + jnp.roll(xx[1], 1, axis=-1))
 
 
 # --------------------------------------------------------------------------
@@ -149,6 +159,24 @@ def _butterfly_axis(x, lo, hi, axis):
     x = jnp.swapaxes(x, axis, -1)
     y = butterfly_forward(x, lo, hi)
     return jnp.swapaxes(y, axis, -1)
+
+
+def _dual_axis(xa, xb, fa, fbk, axis):
+    """Fused dual-bank analysis along ``axis``: returns ((lo_a, hi_a),
+    (lo_b, hi_b)) with that axis halved."""
+    xa = jnp.swapaxes(xa, axis, -1)
+    xb = jnp.swapaxes(xb, axis, -1)
+    (alo, ahi), (blo, bhi) = dual_butterfly_forward(xa, xb, fa, fbk)
+    sw = lambda t: jnp.swapaxes(t, axis, -1)
+    return (sw(alo), sw(ahi)), (sw(blo), sw(bhi))
+
+
+def _dual_axis_rev(parts_a, parts_b, fa, fbk, axis):
+    """Fused dual-bank synthesis along ``axis`` (adjoint of _dual_axis)."""
+    pa = tuple(jnp.swapaxes(t, axis, -1) for t in parts_a)
+    pb = tuple(jnp.swapaxes(t, axis, -1) for t in parts_b)
+    xa, xb = dual_butterfly_reverse(pa, pb, fa, fbk)
+    return jnp.swapaxes(xa, axis, -1), jnp.swapaxes(xb, axis, -1)
 
 
 def _ibutterfly_axis(y, lo, hi, axis):
@@ -223,29 +251,40 @@ def dtcwt2d(image, levels: int, level1_wavelet: str = "sym4") -> DTCWT2DResult:
     (h0a, h1a), (h0b, h1b) = qshift_filters()
     qa, qb = (h0a, h1a), (h0b, h1b)
 
-    # ll[r][c]: lowpass image of (row-tree r, col-tree c)
-    x_b_rows = jnp.roll(x, -1, axis=-2)
+    # ll[r][c]: lowpass image of (row-tree r, col-tree c).
+    # Level 1: every tree product shares the SAME bank, so the whole level
+    # is TWO batched butterflies (rows: 2 trees stacked; cols: 4 products
+    # stacked) instead of six.
     highs = []
     h, w = x.shape[-2] // 2, x.shape[-1] // 2
-    subs = {}
-    for r, base_r in (("a", x), ("b", x_b_rows)):
-        rowt = _butterfly_axis(base_r, fb.dec_lo, fb.dec_hi, -2)
-        for c in ("a", "b"):
-            base = rowt if c == "a" else jnp.roll(rowt, -1, axis=-1)
-            y2 = _butterfly_axis(base, fb.dec_lo, fb.dec_hi, -1)
-            subs[r + c] = _split_quads(y2, h, w)
+    rows = jnp.stack([x, jnp.roll(x, -1, axis=-2)], axis=0)  # (2, ..., H, W)
+    rowt = _butterfly_axis(rows, fb.dec_lo, fb.dec_hi, -2)
+    cols = jnp.stack([rowt[0], jnp.roll(rowt[0], -1, axis=-1),
+                      rowt[1], jnp.roll(rowt[1], -1, axis=-1)], axis=0)
+    y4 = _butterfly_axis(cols, fb.dec_lo, fb.dec_hi, -1)
+    subs = {rc: _split_quads(y4[i], h, w)
+            for i, rc in enumerate(("aa", "ab", "ba", "bb"))}
     highs.append(_orient_stack(subs))
     ll = {rc: q[0] for rc, q in subs.items()}
 
     for _ in range(1, levels):
+        # q-shift levels: the row bank depends only on rc[0] and the col
+        # bank only on rc[1], so the four tree products collapse to ONE
+        # fused dual round per axis (2 matmul rounds/level instead of 8)
         h, w = h // 2, w // 2
-        subs = {}
-        for rc in ("aa", "ab", "ba", "bb"):
-            lo_r, hi_r = qa if rc[0] == "a" else qb
-            lo_c, hi_c = qa if rc[1] == "a" else qb
-            y2 = _butterfly_axis(_butterfly_axis(ll[rc], lo_r, hi_r, -2),
-                                 lo_c, hi_c, -1)
-            subs[rc] = _split_quads(y2, h, w)
+        rowA = jnp.stack([ll["aa"], ll["ab"]], axis=0)  # row-tree a
+        rowB = jnp.stack([ll["ba"], ll["bb"]], axis=0)  # row-tree b
+        (rAlo, rAhi), (rBlo, rBhi) = _dual_axis(rowA, rowB, qa, qb, -2)
+        # col groups by col tree: index 0 of each stack is col-tree a
+        colA = jnp.stack([rAlo[0], rAhi[0], rBlo[0], rBhi[0]], axis=0)
+        colB = jnp.stack([rAlo[1], rAhi[1], rBlo[1], rBhi[1]], axis=0)
+        (cAlo, cAhi), (cBlo, cBhi) = _dual_axis(colA, colB, qa, qb, -1)
+        subs = {  # (LL, LH, HL, HH) per tree product
+            "aa": (cAlo[0], cAhi[0], cAlo[1], cAhi[1]),
+            "ba": (cAlo[2], cAhi[2], cAlo[3], cAhi[3]),
+            "ab": (cBlo[0], cBhi[0], cBlo[1], cBhi[1]),
+            "bb": (cBlo[2], cBhi[2], cBlo[3], cBhi[3]),
+        }
         highs.append(_orient_stack(subs))
         ll = {rc: q[0] for rc, q in subs.items()}
 
@@ -294,29 +333,43 @@ def idtcwt2d(result: DTCWT2DResult) -> jnp.ndarray:
         "bb": result.lowpasses[..., 1, 1, :, :],
     }
     for j in range(result.levels - 1, 0, -1):
+        # adjoint of the fused forward: one dual round per axis for all
+        # four tree products (cols first — reverse of the analysis order)
         quads = _unorient(result.highpasses[j])
-        nxt = {}
-        for rc in ("aa", "ab", "ba", "bb"):
-            lo_r, hi_r = qa if rc[0] == "a" else qb
-            lo_c, hi_c = qa if rc[1] == "a" else qb
-            top = jnp.concatenate([ll[rc], quads["lh"][rc]], axis=-1)
-            bot = jnp.concatenate([quads["hl"][rc], quads["hh"][rc]], axis=-1)
-            y2 = jnp.concatenate([top, bot], axis=-2)
-            nxt[rc] = _ibutterfly_axis(_ibutterfly_axis(y2, lo_c, hi_c, -1),
-                                       lo_r, hi_r, -2)
-        ll = nxt
+
+        def col_parts(rc):
+            a = jnp.concatenate([ll[rc], quads["hl"][rc]], axis=-2)  # L cols
+            d = jnp.concatenate([quads["lh"][rc], quads["hh"][rc]], axis=-2)
+            return a, d
+
+        aA, dA = col_parts("aa")
+        aB, dB = col_parts("ba")
+        a2, d2 = col_parts("ab")
+        b2, e2 = col_parts("bb")
+        colA = (jnp.stack([aA, aB], axis=0), jnp.stack([dA, dB], axis=0))
+        colB = (jnp.stack([a2, b2], axis=0), jnp.stack([d2, e2], axis=0))
+        yA, yB = _dual_axis_rev(colA, colB, qa, qb, -1)  # col-tree a / b
+        # row inverse: group by row tree — yA holds (aa, ba), yB (ab, bb)
+        hh = yA.shape[-2] // 2
+        rowA = (jnp.stack([yA[0, ..., :hh, :], yB[0, ..., :hh, :]], axis=0),
+                jnp.stack([yA[0, ..., hh:, :], yB[0, ..., hh:, :]], axis=0))
+        rowB = (jnp.stack([yA[1, ..., :hh, :], yB[1, ..., :hh, :]], axis=0),
+                jnp.stack([yA[1, ..., hh:, :], yB[1, ..., hh:, :]], axis=0))
+        xA, xB = _dual_axis_rev(rowA, rowB, qa, qb, -2)
+        ll = {"aa": xA[0], "ab": xA[1], "ba": xB[0], "bb": xB[1]}
+    # level 1: same bank everywhere — one batched synthesis per axis
     quads = _unorient(result.highpasses[0])
-    recons = []
+    y4 = []
     for rc in ("aa", "ab", "ba", "bb"):
         top = jnp.concatenate([ll[rc], quads["lh"][rc]], axis=-1)
         bot = jnp.concatenate([quads["hl"][rc], quads["hh"][rc]], axis=-1)
-        y2 = jnp.concatenate([top, bot], axis=-2)
-        img = _ibutterfly_axis(
-            _ibutterfly_axis(y2, fb.rec_lo, fb.rec_hi, -1),
-            fb.rec_lo, fb.rec_hi, -2)
-        if rc[1] == "b":
-            img = jnp.roll(img, 1, axis=-1)
-        if rc[0] == "b":
-            img = jnp.roll(img, 1, axis=-2)
-        recons.append(img)
+        y4.append(jnp.concatenate([top, bot], axis=-2))
+    y4 = jnp.stack(y4, axis=0)
+    img4 = _ibutterfly_axis(
+        _ibutterfly_axis(y4, fb.rec_lo, fb.rec_hi, -1),
+        fb.rec_lo, fb.rec_hi, -2)
+    recons = [img4[0],
+              jnp.roll(img4[1], 1, axis=-1),
+              jnp.roll(img4[2], 1, axis=-2),
+              jnp.roll(jnp.roll(img4[3], 1, axis=-1), 1, axis=-2)]
     return 0.25 * sum(recons)

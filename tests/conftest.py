@@ -24,6 +24,24 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (big filter banks, property sweeps, "
+             "multi-process). Default `pytest -q` skips them so the fast "
+             "suite stays under ~5 min single-process; CI passes --runslow.",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("JWAVE_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow: enable with --runslow or JWAVE_RUN_SLOW=1")
+    for item in items:
+        if item.get_closest_marker("slow"):
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

@@ -138,6 +138,7 @@ class TestDTCWTDenoise:
                  + 0.5 * np.sin(2 * np.pi * 0.08 * (0.97 * xx - 0.26 * yy)))
         return clean, clean + 0.3 * rng.standard_normal((h, w))
 
+    @pytest.mark.slow
     def test_improves_psnr_competitively(self, rng):
         clean, noisy = self._scene(rng)
         def psnr(a):

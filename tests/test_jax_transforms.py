@@ -76,6 +76,7 @@ def test_sliding_window_pattern(rng):
         )
 
 
+@pytest.mark.slow
 def test_grad_and_vmap_through_ssq(rng):
     """The squeezed plane is differentiable w.r.t. the signal (scatter-add
     and the dense masked reduce both have well-defined VJPs); vmap matches

@@ -238,6 +238,7 @@ class TestMRAandVariance:
         with pytest.raises(jw.JWaveFailure):
             jw.modwt(ramp, "db4", 3, boundary="mirror")
 
+    @pytest.mark.slow
     def test_mra_2d_additivity(self, rng):
         img = jnp.asarray(rng.standard_normal((2, 32, 48)))
         comp = jw.modwt_mra_2d(img, "db2", 2)

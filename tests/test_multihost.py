@@ -14,6 +14,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # big banks / sweeps; fast smoke lives in test_analysis_smoke.py
+
 _CHILD = Path(__file__).with_name("multihost_child.py")
 
 

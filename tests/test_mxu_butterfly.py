@@ -218,3 +218,43 @@ def test_fused_pyramid_decompose_consistency(force_mxu):
     want = jw.fwt_decompose(x, "sym8")
     config.set_mxu_butterfly("on")
     np.testing.assert_allclose(got, want, atol=1e-11)
+
+
+@pytest.mark.parametrize("h", [64, 256, 1024])  # dense small-head + tiled regimes
+def test_dual_butterfly_matches_two_plain(h):
+    """Fused dual-tree round (DTCWT inner loop) == two plain butterflies."""
+    from jwave_tpu.filters.qshift import qshift_filters
+    from jwave_tpu.ops.mxu_butterfly import (
+        dual_butterfly_forward_mxu,
+        dual_butterfly_reverse_mxu,
+    )
+
+    (h0a, h1a), (h0b, h1b) = qshift_filters()
+    xa = jnp.asarray(RNG.standard_normal((3, h)))
+    xb = jnp.asarray(RNG.standard_normal((3, h)))
+    (aa, da), (ab, db) = dual_butterfly_forward_mxu(xa, xb, (h0a, h1a), (h0b, h1b))
+    ya = butterfly_forward(xa, h0a, h1a)
+    yb = butterfly_forward(xb, h0b, h1b)
+    half = h // 2
+    np.testing.assert_allclose(aa, ya[..., :half], atol=1e-12)
+    np.testing.assert_allclose(da, ya[..., half:], atol=1e-12)
+    np.testing.assert_allclose(ab, yb[..., :half], atol=1e-12)
+    np.testing.assert_allclose(db, yb[..., half:], atol=1e-12)
+    # reverse: adjoint agreement against the conv synthesis
+    ra, rb = dual_butterfly_reverse_mxu((aa, da), (ab, db), (h0a, h1a), (h0b, h1b))
+    np.testing.assert_allclose(ra, butterfly_reverse(ya, h0a, h1a, 1.0), atol=1e-12)
+    np.testing.assert_allclose(rb, butterfly_reverse(yb, h0b, h1b, 1.0), atol=1e-12)
+    # and perfect reconstruction through the q-shift pair
+    np.testing.assert_allclose(ra, xa, atol=1e-10)
+    np.testing.assert_allclose(rb, xb, atol=1e-10)
+
+
+def test_dtcwt_roundtrip_forced_mxu(force_mxu):
+    """DTCWT 1D/2D roundtrips stay exact with the fused dual rounds forced
+    on (the TPU hot path, validated at f64 on CPU)."""
+    x = jnp.asarray(RNG.standard_normal((2, 512)))
+    r = jw.dtcwt(x, 4)
+    np.testing.assert_allclose(jw.idtcwt(r), x, atol=1e-10)
+    img = jnp.asarray(RNG.standard_normal((64, 64)))
+    r2 = jw.dtcwt2d(img, 3)
+    np.testing.assert_allclose(jw.idtcwt2d(r2), img, atol=1e-10)

@@ -126,6 +126,7 @@ class TestConsumers:
         np.testing.assert_allclose(np.asarray(tfr_mm), np.asarray(tfr_fft), atol=1e-10)
         np.testing.assert_allclose(np.asarray(f_mm), np.asarray(f_fft))
 
+    @pytest.mark.slow
     def test_scattering1d_composed_lowpass_matches_spectral(self, rng):
         import jwave_tpu as jw
 

@@ -65,6 +65,7 @@ def test_mxu_rejects_unaligned_length():
         jw.imodwt(jnp.zeros((2, 3, 200)), "db4", method=ConvolutionMethod.MXU)
 
 
+@pytest.mark.slow
 def test_tile_budget_policy():
     # shallow levels stay well inside the AUTO budget; level-13 db4
     # composites (support ~57k) blow it, routing AUTO elsewhere

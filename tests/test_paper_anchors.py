@@ -266,6 +266,7 @@ class TestDTCWTKingsbury2001:
 # ---------------------------------------------------------------------------
 # Moca et al. 2021 — superlet bandwidth law
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 class TestSuperletMoca2021:
     def test_multiplicative_ladder_bandwidth_law(self):
         """The geometric mean of Morlets with cycles c, 2c, ..., oc has
@@ -353,6 +354,7 @@ class TestWignerClassic:
 # ---------------------------------------------------------------------------
 # Anden & Mallat 2014 — scattering translation stability
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 class TestScatteringAnden2014:
     def test_translation_stability_up_to_2J(self):
         """Scattering coefficients are stable to translations small vs the

@@ -63,6 +63,7 @@ def test_cwt_scale_sharded_uneven_raises(mesh):
         cwt_scale_sharded(jnp.zeros(64), [1.0, 2.0, 3.0], "morlet", mesh)
 
 
+@pytest.mark.slow
 def test_ssq_scale_sharded_matches_single(mesh):
     from jwave_tpu.parallel import ssq_scale_sharded
 

@@ -4,6 +4,8 @@ Mallat 2014: translation invariance, AM demodulation at order 2, frame
 coverage, and transform-composability gates)."""
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # big banks / sweeps; fast smoke lives in test_analysis_smoke.py
 import jax
 import jax.numpy as jnp
 

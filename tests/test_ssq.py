@@ -59,6 +59,7 @@ class TestSSQForward:
         assert abs(freqs[lo] - 25.0) / 25.0 < 0.05
         assert abs(freqs[hi] - 160.0) / 160.0 < 0.05
 
+    @pytest.mark.slow
     def test_batched_equals_per_signal(self, rng):
         xs = jnp.asarray(np.stack([tone(40.0, n=1024), tone(120.0, n=1024)]))
         batched = jw.ssq_cwt(xs, SCALES, "morlet", FS)
@@ -85,6 +86,7 @@ class TestSSQForward:
         with pytest.raises(jw.JWaveFailure):
             jw.ssq_cwt(x, SCALES, "morlet", FS, reassign="sorted")
 
+    @pytest.mark.slow
     def test_frequency_grid_options(self):
         x = jnp.asarray(tone(50.0, n=2048))
         assert jw.ssq_cwt(x, SCALES, "morlet", FS, frequencies=32).n_freqs == 32
@@ -148,6 +150,7 @@ class TestSSQInverse:
             errs.append(np.abs(xr[n // 8 : -n // 8] - x[n // 8 : -n // 8]).max())
         assert errs[1] < errs[0]
 
+    @pytest.mark.slow
     def test_clip_preserves_coefficient_sum(self):
         # interference beats push f_inst off the grid; "clip" keeps that mass
         # (sum over bins == weighted scale sum of kept coefficients) while
@@ -222,6 +225,7 @@ class TestRidgeExtraction:
         # DP path is smoother: fewer large jumps than the per-column argmax
         assert np.abs(np.diff(dp[mid])).max() <= np.abs(np.diff(raw[mid])).max()
 
+    @pytest.mark.slow
     def test_batched_and_guards(self, rng):
         n = 1024
         xs = jnp.asarray(np.stack([tone(30.0, n), tone(120.0, n)]))
@@ -245,6 +249,7 @@ class TestReviewRegressions:
         eager = jw.issq_cwt(res, "morlet", band=(30.0, 70.0))
         np.testing.assert_allclose(np.asarray(f(res)), np.asarray(eager), atol=1e-10)
 
+    @pytest.mark.slow
     def test_pallas_reassign_grad_and_f64_guard(self, rng):
         # the custom VJP (a gather) must match the scatter path's gradient
         scales = jw.generate_log_scales(0.02, 0.5, 16)

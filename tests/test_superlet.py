@@ -4,6 +4,8 @@ tone pairs resolved where a fixed-Q CWT smears), calibrated matched-tone
 gain, burst localization, and composability."""
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # big banks / sweeps; fast smoke lives in test_analysis_smoke.py
 import jax
 import jax.numpy as jnp
 

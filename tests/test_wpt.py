@@ -61,6 +61,7 @@ def test_roundtrip_all_wavelets_wpt(fb, rng):
 # Best-basis selection (Coifman-Wickerhauser superset)
 # --------------------------------------------------------------------------
 
+@pytest.mark.slow
 class TestBestBasis:
     def test_cover_and_exact_reconstruction(self, rng):
         from jwave_tpu.transforms.wpt import best_basis, best_basis_reconstruct
@@ -123,6 +124,7 @@ class TestBestBasis:
         assert len(bb_noise.nodes) <= len(bb_tone.nodes) * 2
 
 
+@pytest.mark.slow
 class TestBestBasis2D:
     @staticmethod
     def _scene():

@@ -45,6 +45,7 @@ class TestWVD:
             kk = np.abs(np.asarray(freqs) - f0).argmin()
             assert np.asarray(smo)[kk].mean() > 5.0 * np.abs(np.asarray(smo)[mid]).mean()
 
+    @pytest.mark.slow
     def test_batch_jit_grad(self, rng):
         xb = jnp.asarray(rng.standard_normal((2, 512)))
         f = jax.jit(lambda s: jw.wigner_ville(s, FS, n_bins=128)[0])
