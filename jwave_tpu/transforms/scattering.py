@@ -620,13 +620,21 @@ def scattering2d(
     X = _fft2(xpad.astype(cdtype))
 
     if config.mxu_dft() != "off":
-        # phi is an isotropic Gaussian => SEPARABLE, so the whole lowpass
-        # chain  fft2 -> *phi -> ifft2 -> crop -> stride  is two sampled
-        # real circulants applied to the SPATIAL array: Ay @ u @ Ax^T.
-        # This removes BOTH the forward fft2 and the lowpass ifft2 of
-        # every consumer (the order-2 outputs never enter the frequency
-        # domain again) — ~410 of the ~650 full-size FFT2 units at the
-        # bench shape, exactly (same operator, reassociated).
+        # MXU formulation (round 3 + round 4). Two reassociations, both
+        # measured against the c64 FFT2 engine's ~0.2 TFLOP/s rate at
+        # these batched shapes vs ~35 TFLOP/s for HIGHEST-precision
+        # matmuls (ops/mxu_dft2d.py module docstring):
+        #
+        # 1. phi is an isotropic (= separable) Gaussian, so the lowpass
+        #    chain fft2 -> *phi -> ifft2 -> crop -> stride is two sampled
+        #    real circulants on the SPATIAL array: Ay @ u @ Ax^T (round 3).
+        # 2. every band convolution |ifft2(spec * psi)| restricts to psi's
+        #    Gaussian support box and collapses to two skinny matmuls —
+        #    the box offset phases die under the modulus (round 4,
+        #    ops.mxu_dft2d.box_ifft2_mag). Scale-0 bumps cover most of the
+        #    plane, so those maps stay on the spectral path.
+        from ..ops import mxu_dft2d as _mm2d
+
         sigma_phi = XI_MAX * 2.0 ** (-float(J)) / math.sqrt(2.0 * math.log(2.0))
 
         def axis_phi(m):
@@ -646,13 +654,74 @@ def scattering2d(
             t = jnp.swapaxes(dot(u, axt, prec), -1, -2)  # (..., Tx, Py)
             return jnp.swapaxes(dot(t, ayt, prec), -1, -2)  # (..., Ty, Tx)
 
-        u1 = jnp.abs(_ifft2(X[..., None, :, :] * psi))  # (..., J*L, Py, Px)
+        rdt = x.dtype
+        psi_np = bank.psi_hat
+        bx = [_mm2d.filter_box(psi_np[k]) for k in range(psi_np.shape[0])]
+
+        # ---- order 1: per-scale groups (shared box size), box matmuls ----
+        u1_list = [None] * psi_np.shape[0]
+        for j in range(J):
+            ks = list(range(j * L, (j + 1) * L))
+            dy = max(bx[k][1] for k in ks)
+            dx = max(bx[k][3] for k in ks)
+            if dy > 0.85 * py or dx > 0.85 * px:
+                u1g = jnp.abs(_ifft2(X[..., None, :, :] * psi[np.asarray(ks)]))
+                for i, k in enumerate(ks):
+                    u1_list[k] = u1g[..., i, :, :]
+                continue
+            Sr, Si = [], []
+            for k in ks:
+                Z = _mm2d.roll_box(
+                    X * jnp.asarray(psi_np[k], cdtype), (bx[k][0], dy, bx[k][2], dx)
+                )
+                Sr.append(jnp.real(Z).astype(rdt))
+                Si.append(jnp.imag(Z).astype(rdt))
+            u1g = _mm2d.box_ifft2_mag(
+                jnp.stack(Sr, axis=-3), jnp.stack(Si, axis=-3), py, px
+            )
+            for i, k in enumerate(ks):
+                u1_list[k] = u1g[..., i, :, :]
+        u1 = jnp.stack(u1_list, axis=-3)  # (..., J*L, Py, Px)
+
+        # ---- V1: real-input FFT2 (the fast direction of the engine) ----
         V1 = _fft2(u1.astype(cdtype))
-        Vp = jnp.take(V1, k1_of_path, axis=-3)
-        u2 = jnp.abs(_ifft2(Vp * psi2_of_path))
+        V1r = jnp.real(V1).astype(rdt)
+        V1i = jnp.imag(V1).astype(rdt)
+
+        # ---- order 2: every path's psi2 box (j2 >= 1, always small) ----
+        u2_list = [None] * len(bank.paths)
+        for j2 in range(1, J):
+            pidx = [p for p in range(len(bank.paths))
+                    if int(bank.paths[p, 1]) // L == j2]
+            if not pidx:
+                continue
+            ks2 = sorted({int(bank.paths[p, 1]) for p in pidx})
+            dy = max(bx[k][1] for k in ks2)
+            dx = max(bx[k][3] for k in ks2)
+            Sr, Si = [], []
+            for p in pidx:
+                k1, k2 = int(bank.paths[p, 0]), int(bank.paths[p, 1])
+                box = (bx[k2][0], dy, bx[k2][2], dx)
+                pb = jnp.asarray(
+                    np.roll(psi_np[k2], (-box[0], -box[2]), axis=(0, 1))[:dy, :dx],
+                    rdt,
+                )
+                Sr.append(_mm2d.roll_box(V1r[..., k1, :, :], box) * pb)
+                Si.append(_mm2d.roll_box(V1i[..., k1, :, :], box) * pb)
+            u2g = _mm2d.box_ifft2_mag(
+                jnp.stack(Sr, axis=-3), jnp.stack(Si, axis=-3), py, px
+            )
+            for i, p in enumerate(pidx):
+                u2_list[p] = u2g[..., i, :, :]
+        if u2_list:
+            u2 = jnp.stack(u2_list, axis=-3)
+            s2 = lowpass_spatial(u2)
+        else:
+            ty, tx = -(-h // stride), -(-w // stride)
+            s2 = jnp.zeros(x.shape[:-2] + (0, ty, tx), dtype=rdt)
+
         s0 = lowpass_spatial(xpad)
         s1 = lowpass_spatial(u1)
-        s2 = lowpass_spatial(u2)
         return Scattering2DResult(s0, s1, s2, bank.xi, bank.thetas, bank.paths)
 
     # cross-validation hatch (config.set_mxu_dft('off')): the spectral

@@ -145,6 +145,11 @@ class TestConsumers:
             )
 
     def test_scattering2d_composed_lowpass_matches_spectral(self, rng):
+        """MXU path (composed lowpass + round-4 box-matmul band convs) vs
+        the spectral hatch. Round 3 was bit-identical; round 4 restricts
+        each band conv to its bump's amplitude > eps = 1e-6 box
+        (ops.mxu_dft2d), so agreement is at the documented ~1e-7-relative
+        truncation level, not roundoff."""
         import jwave_tpu as jw
 
         img = jnp.asarray(rng.standard_normal((2, 32, 32)))
@@ -155,8 +160,7 @@ class TestConsumers:
         finally:
             config.set_mxu_dft("auto")
         for name in ("S0", "S1", "S2"):
-            np.testing.assert_allclose(
-                np.asarray(getattr(r_new, name)),
-                np.asarray(getattr(r_old, name)),
-                atol=1e-12,
-            )
+            a = np.asarray(getattr(r_new, name))
+            b = np.asarray(getattr(r_old, name))
+            scale = np.max(np.abs(b))
+            assert np.max(np.abs(a - b)) < 1e-6 * scale, name
