@@ -1,0 +1,189 @@
+"""Circular strided band convolutions as MXU tile matmuls — the 1D
+scattering network's order-2 paths and lowpass without FFT rounds.
+
+Motivation (measured on the v5e relay, recorded in docs/PERFORMANCE.md):
+the XLA c64 FFT engine runs ~0.15-0.3 TFLOP/s at scattering1d's batched
+full-length shapes while HIGHEST-precision matmuls run ~35 TFLOP/s. The
+scattering filters are Gaussian in frequency, hence Gaussian in TIME —
+an octave-wide psi2 is only ~100 taps long, and the phi lowpass ~1200/r —
+so every "multiply spectrum, inverse-transform, (modulus)" round after the
+first unavoidable band iFFT is really a SHORT circular convolution:
+
+    y[f] = sum_tau u[(f*S + tau + t0) mod m] * taps[tau]      (stride S)
+
+Two exact tile forms, chosen per shape (ops are batched over all leading
+axes; everything is jit/grad-compatible, no gathers):
+
+- ``lane``: output lanes tiled by 128; input tile e covers taps
+  ``128 e + l - S i``. Tiles group into G = ceil(E / S) contiguous
+  (S*128, 128) matmuls of the (tiles, S, 128) view rolled on the tile
+  axis — the stride-S generalization of ops.mxu_butterfly's pair tiles.
+  Efficient for small S (G is 2 for every scattering shape).
+- ``block``: the grid viewed as (m/S, S) frames; tap window spans
+  D = ceil(T / S) + 1 frames, so y = sum_d roll(frames, -d) @ w_d — ONE
+  (m/S, S) x (S, D) matmul plus D column shift-adds. Efficient for large
+  S (D stays ~constant because longer taps come with larger strides).
+
+``conv_taps`` builds the truncated impulse response of a spectral filter
+(|taps| > eps * max kept — Gaussian tails, eps 1e-7 = the same truncation
+policy as ops.mxu_dft2d's boxes).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import config
+from .mxu_common import LANES, dot as _dot
+
+
+def conv_taps(filter_hat: np.ndarray, eps: float = 1e-7):
+    """Truncated circular impulse response of a frequency-domain filter.
+
+    Returns ``(taps, t0)`` with ``taps[tau]`` the response at time lag
+    ``t0 + tau`` — the smallest circular window holding every coefficient
+    with amplitude > eps * max. taps is complex128 (callers split re/im).
+    """
+    h = np.fft.ifft(np.asarray(filter_hat, dtype=np.complex128))
+    m = len(h)
+    mask = np.abs(h) > eps * np.abs(h).max()
+    idx = np.flatnonzero(~mask)
+    if len(idx) == 0:
+        return h, 0
+    # longest run of False (circularly) — complement is the tap window
+    runs = np.split(idx, np.flatnonzero(np.diff(idx) != 1) + 1)
+    if len(runs) >= 2 and idx[0] == 0 and idx[-1] == m - 1:
+        cands = [(len(runs[0]) + len(runs[-1]), int(runs[-1][0]))] + [
+            (len(r), int(r[0])) for r in runs[1:-1]
+        ]
+    else:
+        cands = [(len(r), int(r[0])) for r in runs]
+    gap_len, gap_start = max(cands)
+    t0 = (gap_start + gap_len) % m
+    size = m - gap_len
+    return np.roll(h, -t0)[:size], t0
+
+
+def _ceil128(n: int) -> int:
+    return -(-n // LANES) * LANES
+
+
+def plan(m: int, S: int, T: int) -> str | None:
+    """Pick the cheaper exact form, or None when the FFT path stays better.
+
+    Cost model: issued matmul FLOPs per row per output grid — ``lane``
+    issues m*128*G (G = ceil(E/S)), ``block`` m*ceil128(D)* (1/S) * S =
+    m*ceil128(D)/... both compared against ~30x the 5 m log2 m FFT FLOPs
+    (the measured MXU:FFT engine-rate ratio at these shapes).
+    """
+    E = -(-(S * (LANES - 1) + T) // LANES)
+    G = -(-E // S)
+    D = -(-T // S) + 1
+    lane_cost = m * LANES * G if (G <= 8 and m % (S * LANES) == 0) else None
+    # block form's matmul is (m/S, S) @ (S, ceil128(D)): m * ceil128(D) FLOPs
+    block_cost = m * _ceil128(D) if D <= 512 and S >= 2 else None
+    fft_equiv = int(30 * 5 * m * max(np.log2(m), 1))
+    best = None
+    if lane_cost is not None and (block_cost is None or lane_cost <= block_cost):
+        best = ("lane", lane_cost)
+    elif block_cost is not None:
+        best = ("block", block_cost)
+    if best is None or best[1] > fft_equiv:
+        return None
+    return best[0]
+
+
+@lru_cache(maxsize=256)
+def _lane_banks(taps_key, T: int, S: int, m: int):
+    """(G, S*128, 128) f64 weight blocks for the lane form (real taps)."""
+    taps = np.frombuffer(taps_key, dtype=np.float64)
+    E = -(-(S * (LANES - 1) + T) // LANES)
+    G = -(-E // S)
+    i = np.arange(LANES)[None, :]
+    banks = np.zeros((G, S * LANES, LANES))
+    for g in range(G):
+        for s in range(S):
+            e = g * S + s
+            if e >= E:
+                break
+            l = np.arange(LANES)[:, None]
+            tau = LANES * e + l - S * i
+            valid = (tau >= 0) & (tau < T)
+            banks[g, s * LANES : (s + 1) * LANES, :] = np.where(
+                valid, taps[np.clip(tau, 0, T - 1)], 0.0
+            )
+    return banks
+
+
+def _lane_conv_real(v, taps: np.ndarray, S: int, precision):
+    """Lane-form strided conv of pre-rolled real ``v`` (..., m) with REAL
+    taps; returns (..., m/S)."""
+    m = v.shape[-1]
+    lead = v.shape[:-1]
+    T = len(taps)
+    banks = _lane_banks(
+        np.ascontiguousarray(taps, dtype=np.float64).tobytes(), T, S, m
+    )
+    G = banks.shape[0]
+    F = m // S
+    tiles = m // LANES
+    v4 = v.reshape((-1, tiles // S, S * LANES))  # tile groups of S
+    acc = None
+    for g in range(G):
+        src = jnp.roll(v4, -g, axis=-2) if g else v4
+        w = jnp.asarray(banks[g], v.dtype)
+        t = _dot(src.reshape(-1, S * LANES), w, precision)
+        acc = t if acc is None else acc + t
+    return acc.astype(v.dtype).reshape(lead + (F,))
+
+
+def _block_conv_real(v, taps: np.ndarray, S: int, precision):
+    """Block-form strided conv of pre-rolled real ``v`` with REAL taps."""
+    m = v.shape[-1]
+    lead = v.shape[:-1]
+    T = len(taps)
+    D = -(-T // S) + 1
+    F = m // S
+    w = np.zeros((S, D))
+    for d in range(D):
+        seg = taps[d * S : (d + 1) * S]
+        w[: len(seg), d] = seg
+    v4 = v.reshape((-1, F, S))
+    z = _dot(v4.reshape(-1, S), jnp.asarray(w, v.dtype), precision)
+    z = z.astype(v.dtype).reshape((-1, F, D))
+    acc = None
+    for d in range(D):
+        col = jnp.roll(z[..., d], -d, axis=-1) if d else z[..., 0]
+        acc = col if acc is None else acc + col
+    return acc.reshape(lead + (F,))
+
+
+def strided_band_conv(u, filter_hat: np.ndarray, S: int, eps: float = 1e-7):
+    """Circular conv of real (..., m) ``u`` with the impulse response of
+    ``filter_hat`` (length-m spectral filter), evaluated at stride ``S``.
+
+    Returns ``(yr, yi)`` — the complex result's parts, each (..., m/S) —
+    or None when :func:`plan` prefers the FFT path for this shape. Exact
+    up to the eps tap truncation.
+    """
+    m = u.shape[-1]
+    taps, t0 = conv_taps(filter_hat, eps)
+    T = len(taps)
+    form = plan(m, S, T)
+    if form is None:
+        return None
+    prec = config.conv_precision()
+    # circular convolution y[fS] = sum_j u[fS - j] h[j], h supported on
+    # [t0, t0+T): reindex to the kernels' correlation form
+    # sum_tau v[fS + tau] w[tau] with w = taps reversed and
+    # v = u delayed by t0 + T - 1
+    v = jnp.roll(u, t0 + T - 1, axis=-1)
+    w = taps[::-1]
+    conv = _lane_conv_real if form == "lane" else _block_conv_real
+    yr = conv(v, np.ascontiguousarray(w.real), S, prec)
+    if np.abs(w.imag).max() < 1e-12 * np.abs(w.real).max():
+        return yr, jnp.zeros_like(yr)  # real filter (e.g. the phi lowpass)
+    yi = conv(v, np.ascontiguousarray(w.imag), S, prec)
+    return yr, yi

@@ -4,7 +4,7 @@ Each transform is a pure function ``f(signal, wavelet/params, level) ->
 coeffs`` over the last axis (or last 2/3 axes for separable nD), batched
 over all leading axes. Class facades live in :mod:`jwave_tpu.api`.
 """
-from .fwt import fwt, ifwt, fwt_max_level, fwt_decompose, fwt_recompose, fwt_split, fwt_merge
+from .fwt import fwt, fwt2d, ifwt, ifwt2d, fwt_max_level, fwt_decompose, fwt_recompose, fwt_split, fwt_merge
 from .wpt import BestBasis, best_basis, best_basis_reconstruct, BestBasis2D, best_basis_2d, best_basis_2d_reconstruct, iwpt, wpt, wpt_interleaved_to_subband, wpt_subband_to_interleaved
 from .modwt import modwt, imodwt, modwt_1d, imodwt_1d, modwt_2d, imodwt_2d, modwt_mra, modwt_mra_2d, modwt_variance, modwt_variance_ci, modwt_covariance, modwt_correlation, wavelet_log_spectrum, hurst_exponent, ConvolutionMethod
 from .cwt import cwt, cwt_chunked, cwt_direct, icwt, xwt, wavelet_coherence, CWTResult, generate_log_scales, generate_linear_scales, PaddingType
@@ -25,7 +25,7 @@ from .shifting import shifting_forward, shifting_reverse
 from .ndim import forward_2d, reverse_2d, forward_3d, reverse_3d, forward_complex, reverse_complex
 
 __all__ = [
-    "fwt", "ifwt", "fwt_max_level", "fwt_decompose", "fwt_recompose", "fwt_split", "fwt_merge",
+    "fwt", "fwt2d", "ifwt", "ifwt2d", "fwt_max_level", "fwt_decompose", "fwt_recompose", "fwt_split", "fwt_merge",
     "wpt", "iwpt", "wpt_interleaved_to_subband", "wpt_subband_to_interleaved",
     "modwt", "imodwt", "modwt_1d", "imodwt_1d", "modwt_2d", "imodwt_2d", "ConvolutionMethod",
     "SlidingMODWT", "SlidingState", "sliding_modwt_init", "sliding_modwt_update",

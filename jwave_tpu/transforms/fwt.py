@@ -154,3 +154,30 @@ def fwt_merge(parts: dict):
     ) else 0
     order = [f"a{level}"] + [f"d{l}" for l in range(level, 0, -1)]
     return jnp.concatenate([parts[k] for k in order], axis=-1)
+
+
+def fwt2d(mat, wavelet, level_rows: int | None = None, level_cols: int | None = None):
+    """2D FWT (standard decomposition: the full 1D pyramid along each
+    axis — BasicTransform.java:361-399) of a (R, N) real matrix.
+
+    On TPU f32 with pow-2 extents the whole transform runs as TWO fused
+    Pallas passes (ops.pallas_pyramid) — one HBM read and one transposed
+    write per axis, every level's butterflies staying in VMEM; otherwise
+    the separable XLA path (transforms.ndim over :func:`fwt`).
+    """
+    from ..ops.pallas_pyramid import fwt2d_fused, pyramid2d_eligible
+    from .ndim import forward_2d
+
+    x = ensure_float(jnp.asarray(mat))
+    fb = get_filter(wavelet)
+    if x.ndim == 2 and pyramid2d_eligible(x):
+        return fwt2d_fused(x, fb.name, level_rows, level_cols)
+    return forward_2d(lambda v, lvl: fwt(v, wavelet, lvl), x, level_rows, level_cols)
+
+
+def ifwt2d(coeffs, wavelet, level_rows: int | None = None, level_cols: int | None = None):
+    """Inverse of :func:`fwt2d` (separable XLA synthesis path)."""
+    from .ndim import reverse_2d
+
+    return reverse_2d(lambda v, lvl: ifwt(v, wavelet, lvl), jnp.asarray(coeffs),
+                      level_rows, level_cols)

@@ -374,11 +374,54 @@ def scattering1d(
             np.exp(-(grid_freqs(r) ** 2) / (2.0 * sigma_phi**2)), dtype=cdtype
         )
 
-    # order 0 (full grid, r = 1)
-    s0 = lowpass(X, 1, phi_on(1))
+    use_mxu = config.mxu_dft() != "off"
+    frames = -(-n // stride)
+
+    def ifft_mag(Z):
+        """|ifft(Z)| — on TPU f32 via TWO real-input FFTs with the index
+        reversal undone (|ifft(Z)[t]| = |fft(Zr) + i fft(Zi)|[-t] / m; the
+        c64 inverse engine measured 1.5x slower than two forward real
+        transforms at these batched shapes)."""
+        import jax as _jax
+        from ..ops.mxu_common import TPU_BACKENDS
+
+        if not (use_mxu and _jax.default_backend() in TPU_BACKENDS
+                and x.dtype == jnp.float32):
+            return jnp.abs(_ifft(Z))
+        m = Z.shape[-1]
+        A = _fft(jnp.real(Z).astype(cdtype))
+        B = _fft(jnp.imag(Z).astype(cdtype))
+        mag = jnp.sqrt((jnp.real(A) - jnp.imag(B)) ** 2
+                       + (jnp.imag(A) + jnp.real(B)) ** 2) / m
+        return jnp.roll(jnp.flip(mag, -1), 1, -1)
+
+    def phi_lowpass(u_real, r):
+        """S-output lowpass of a rate-r spatial magnitude: composed-matrix
+        matmul for small grids (round 3), block-form time-domain phi conv
+        for large ones (round 4, ops.mxu_bandconv — phi's impulse response
+        is ~1200/r taps, so the third FFT round is a skinny matmul),
+        spectral ifft as the hatch."""
+        if lowpass_direct_ok(r):
+            return lowpass_direct(u_real, r)
+        if use_mxu:
+            phi_np = np.exp(-(grid_freqs(r) ** 2) / (2.0 * sigma_phi**2))
+            out = _bandconv.strided_band_conv(u_real, phi_np, stride // r)
+            if out is not None:
+                return out[0][..., :frames]
+        return lowpass(_fft(u_real.astype(cdtype)), r, phi_on(r))
+
+    if use_mxu:
+        from ..ops import mxu_bandconv as _bandconv
+
+        # order 0: phi conv on the padded signal itself — no spectrum needed
+        s0 = phi_lowpass(xp, 1)
+    else:
+        s0 = lowpass(X, 1, phi_on(1))
 
     s1_parts, s1_order = [], []
-    v1_store = {}  # k1 -> (group tensor, local row, r1)
+    v1_store = {}  # k1 -> (group tensor, local row, r1)   [spectral path]
+    u1_store = {}  # k1 -> (group tensor, local row, r1)   [MXU path]
+    _v1_group: dict[int, jnp.ndarray] = {}  # lazy fft(u1) per r-group
     for r in sorted(set(r1_of.tolist())):
         idxs = np.nonzero(r1_of == r)[0]
         # order 1: batched multiply on the full grid, decimation by
@@ -386,47 +429,84 @@ def scattering1d(
         prod = X[..., None, :] * psi1[idxs]
         if r > 1:
             prod = prod.reshape(prod.shape[:-1] + (r, padded // r)).sum(-2) / r
-        u1 = jnp.abs(_ifft(prod))  # (..., Kg, P/r)
-        V1 = _fft(u1.astype(cdtype))  # reused by BOTH S1 and order 2
-        if lowpass_direct_ok(r):
-            s1_parts.append(lowpass_direct(u1, r))
+        if use_mxu:
+            u1 = ifft_mag(prod)  # (..., Kg, P/r)
+            s1_parts.append(phi_lowpass(u1, r))
+            for i, k1 in enumerate(idxs.tolist()):
+                u1_store[k1] = (u1, i, r)
         else:
+            u1 = jnp.abs(_ifft(prod))
+            V1 = _fft(u1.astype(cdtype))  # reused by BOTH S1 and order 2
             s1_parts.append(lowpass(V1, r, phi_on(r)))
+            for i, k1 in enumerate(idxs.tolist()):
+                v1_store[k1] = (V1, i, r)
         s1_order.extend(idxs.tolist())
-        for i, k1 in enumerate(idxs.tolist()):
-            v1_store[k1] = (V1, i, r)
+
+    def v1_row(k1):
+        """Lazy fft(u1) for spectral-fallback paths on the MXU route."""
+        u1g, i, r1 = u1_store[k1]
+        if r1 not in _v1_group:
+            _v1_group[r1] = _fft(u1g.astype(cdtype))
+        return _v1_group[r1][..., i, :], r1
 
     s2_parts, s2_order = [], []
-    for R in sorted(set(r_path.tolist())):
-        pidx = np.nonzero(r_path == R)[0]
-        fR = grid_freqs(R)
-        # gather this R-group's V1 rows, truncating each from its r1 grid
-        # (batch the truncation per source r1 to keep op count low)
-        rows = {}
-        by_r1 = {}
-        for p in pidx.tolist():
-            k1 = int(bank.paths[p, 0])
-            by_r1.setdefault(v1_store[k1][2], []).append(p)
-        for r1, plist in by_r1.items():
-            V1g = v1_store[int(bank.paths[plist[0], 0])][0]
-            locs = jnp.asarray([v1_store[int(bank.paths[p, 0])][1] for p in plist])
-            Vsub = truncate(jnp.take(V1g, locs, axis=-2), R // r1)
-            for j, p in enumerate(plist):
-                rows[p] = Vsub[..., j, :]
-        Vp = jnp.stack([rows[p] for p in pidx.tolist()], axis=-2)
-        psi2_R = jnp.asarray(
-            np.stack([
-                _gauss_bump(fR, bank.xi2[k2], sig2[k2])
-                for k2 in bank.paths[pidx, 1]
-            ]),
-            dtype=cdtype,
-        )
-        u2 = jnp.abs(_ifft(Vp * psi2_R))
-        if lowpass_direct_ok(R):
-            s2_parts.append(lowpass_direct(u2, R))
-        else:
+    if use_mxu:
+        # order 2 without ANY further FFT rounds: each path's psi2 is an
+        # octave-wide Gaussian = a ~100-tap impulse response on the k1
+        # band's rate-r1 grid, so u2 = |u1 (*) psi2|[::R/r1] is a strided
+        # MXU tile conv (ops.mxu_bandconv), and S2 its phi conv.
+        by_key: dict[tuple[int, int], list[int]] = {}
+        for p in range(len(bank.paths)):
+            k1, k2 = int(bank.paths[p, 0]), int(bank.paths[p, 1])
+            by_key.setdefault((int(r1_of[k1]), k2), []).append(p)
+        for (r1, k2), plist in sorted(by_key.items()):
+            R = int(r_path[plist[0]])
+            S = R // r1
+            psi2_np = _gauss_bump(grid_freqs(r1), bank.xi2[k2], sig2[k2])
+            rows = [u1_store[int(bank.paths[p, 0])] for p in plist]
+            u_stack = jnp.stack(
+                [g[..., i, :] for (g, i, _) in rows], axis=-2)
+            out = _bandconv.strided_band_conv(u_stack, psi2_np, S)
+            if out is not None:
+                u2 = jnp.sqrt(out[0] ** 2 + out[1] ** 2)
+            else:  # shape outside the tile forms' plan: spectral fallback
+                fR = grid_freqs(R)
+                Vp = jnp.stack(
+                    [truncate(v1_row(int(bank.paths[p, 0]))[0], S) for p in plist],
+                    axis=-2,
+                )
+                psi2_R = jnp.asarray(_gauss_bump(fR, bank.xi2[k2], sig2[k2]), cdtype)
+                u2 = ifft_mag(Vp * psi2_R)
+            s2_parts.append(phi_lowpass(u2, R))
+            s2_order.extend(plist)
+    else:
+        for R in sorted(set(r_path.tolist())):
+            pidx = np.nonzero(r_path == R)[0]
+            fR = grid_freqs(R)
+            # gather this R-group's V1 rows, truncating each from its r1
+            # grid (batch the truncation per source r1 to keep op count low)
+            rows = {}
+            by_r1 = {}
+            for p in pidx.tolist():
+                k1 = int(bank.paths[p, 0])
+                by_r1.setdefault(v1_store[k1][2], []).append(p)
+            for r1, plist in by_r1.items():
+                V1g = v1_store[int(bank.paths[plist[0], 0])][0]
+                locs = jnp.asarray([v1_store[int(bank.paths[p, 0])][1] for p in plist])
+                Vsub = truncate(jnp.take(V1g, locs, axis=-2), R // r1)
+                for j, p in enumerate(plist):
+                    rows[p] = Vsub[..., j, :]
+            Vp = jnp.stack([rows[p] for p in pidx.tolist()], axis=-2)
+            psi2_R = jnp.asarray(
+                np.stack([
+                    _gauss_bump(fR, bank.xi2[k2], sig2[k2])
+                    for k2 in bank.paths[pidx, 1]
+                ]),
+                dtype=cdtype,
+            )
+            u2 = jnp.abs(_ifft(Vp * psi2_R))
             s2_parts.append(lowpass(_fft(u2.astype(cdtype)), R, phi_on(R)))
-        s2_order.extend(pidx.tolist())
+            s2_order.extend(pidx.tolist())
 
     inv1 = np.argsort(np.asarray(s1_order))
     s1 = jnp.take(jnp.concatenate(s1_parts, axis=-2), jnp.asarray(inv1), axis=-2)

@@ -128,6 +128,9 @@ class TestConsumers:
 
     @pytest.mark.slow
     def test_scattering1d_composed_lowpass_matches_spectral(self, rng):
+        """MXU route (composed lowpass + round-4 taps-form order 2,
+        ops.mxu_bandconv) vs the spectral hatch. S0/S1 stay at roundoff;
+        S2 agrees at the documented ~1e-7 psi2 tap-truncation level."""
         import jwave_tpu as jw
 
         x = jnp.asarray(rng.standard_normal((2, 1024)))
@@ -137,12 +140,10 @@ class TestConsumers:
             r_old = jw.scattering1d(x, J=5, Q=2)
         finally:
             config.set_mxu_dft("auto")
-        for name in ("S0", "S1", "S2"):
-            np.testing.assert_allclose(
-                np.asarray(getattr(r_new, name)),
-                np.asarray(getattr(r_old, name)),
-                atol=1e-12,
-            )
+        for name, tol in (("S0", 1e-12), ("S1", 1e-12), ("S2", 1e-6)):
+            a = np.asarray(getattr(r_new, name))
+            b = np.asarray(getattr(r_old, name))
+            assert np.max(np.abs(a - b)) < max(tol * np.max(np.abs(b)), 1e-12), name
 
     def test_scattering2d_composed_lowpass_matches_spectral(self, rng):
         """MXU path (composed lowpass + round-4 box-matmul band convs) vs
