@@ -288,11 +288,16 @@ def main():
     else:
         details["modwt_sweep_us_b8_L4"] = {"skipped": "budget"}
 
-    # 2D FWT on 2048x2048 (BASELINE config #4 single-chip)
+    # 2D FWT on 2048x2048 (BASELINE config #4 single-chip) — public fwt2d:
+    # two fused Pallas pyramid passes on TPU (ops/pallas_pyramid.py)
     img = jax.device_put(jnp.asarray(rng.standard_normal((2048, 2048)), dtype=jnp.float32))
-    row("fwt2d_db4_L6_2048",
-        lambda m: forward_2d(lambda v, level: fwt(v, "Daubechies 4", level), m, 6, 6),
+    row("fwt2d_db4_L6_2048", lambda m: jw.fwt2d(m, "Daubechies 4", 6, 6),
         img, k=64, throughput=("Mpix_per_s", 2048 * 2048))
+    if dev.platform != "cpu":
+        # the separable XLA path for comparison (the pre-round-4 formulation)
+        row("fwt2d_db4_L6_2048_xla",
+            lambda m: forward_2d(lambda v, level: fwt(v, "Daubechies 4", level), m, 6, 6),
+            img, k=64, throughput=("Mpix_per_s", 2048 * 2048))
 
     # 1D FWT multi-level (BASELINE config #2: 64K samples, 8 levels)
     row("fwt1d_db4_L8", lambda a: fwt(a, "Daubechies 4", 8), x, k=128,

@@ -71,28 +71,30 @@ def _ceil128(n: int) -> int:
 
 
 def plan(m: int, S: int, T: int) -> str | None:
-    """Pick the cheaper exact form, or None when the FFT path stays better.
+    """Pick the exact form whose MXU mapping is sane, or None for the FFT
+    path.
 
-    Cost model: issued matmul FLOPs per row per output grid — ``lane``
-    issues m*128*G (G = ceil(E/S)), ``block`` m*ceil128(D)* (1/S) * S =
-    m*ceil128(D)/... both compared against ~30x the 5 m log2 m FFT FLOPs
-    (the measured MXU:FFT engine-rate ratio at these shapes).
+    Round-4 postmortem (docs/PERFORMANCE.md): the first cost model
+    compared issued FLOPs only and routed small strides to the block
+    form, whose matmul has K = S — at S = 2 XLA lowers (.., 2) @ (2, D)
+    to a broadcast convolution materializing an (m/S, D) intermediate
+    (~2.3 GB per scattering path group; the compiled program read 188 GB
+    of HBM and ran 3.5x SLOWER than the FFT formulation it replaced). The
+    block form is only MXU-shaped when its contraction dim S is >= 32;
+    the lane form (K = S*128) covers every smaller stride.
     """
     E = -(-(S * (LANES - 1) + T) // LANES)
     G = -(-E // S)
     D = -(-T // S) + 1
-    lane_cost = m * LANES * G if (G <= 8 and m % (S * LANES) == 0) else None
-    # block form's matmul is (m/S, S) @ (S, ceil128(D)): m * ceil128(D) FLOPs
-    block_cost = m * _ceil128(D) if D <= 512 and S >= 2 else None
+    lane_ok = G <= 8 and m % (S * LANES) == 0
+    block_ok = S >= 32 and D <= 512 and m % S == 0
+    # issued matmul FLOPs per row: lane m*128*G, block m*ceil128(D)
     fft_equiv = int(30 * 5 * m * max(np.log2(m), 1))
-    best = None
-    if lane_cost is not None and (block_cost is None or lane_cost <= block_cost):
-        best = ("lane", lane_cost)
-    elif block_cost is not None:
-        best = ("block", block_cost)
-    if best is None or best[1] > fft_equiv:
-        return None
-    return best[0]
+    if block_ok and (not lane_ok or m * _ceil128(D) < m * LANES * G):
+        return "block" if m * _ceil128(D) <= fft_equiv else None
+    if lane_ok:
+        return "lane" if m * LANES * G <= fft_equiv else None
+    return None
 
 
 @lru_cache(maxsize=256)

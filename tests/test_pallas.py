@@ -96,3 +96,52 @@ def test_pallas_reassign_in_ssq(rng):
     a = jw.ssq_cwt(x, scales, "morlet", fs, reassign="scatter")
     b = jw.ssq_cwt(x, scales, "morlet", fs, reassign="pallas")
     np.testing.assert_allclose(np.asarray(b.Tx), np.asarray(a.Tx), atol=1e-5)
+
+
+class TestFusedPyramid2D:
+    """ops.pallas_pyramid — the fused two-pass 2D FWT (interpreter mode;
+    compiled-mode numbers are recorded per round by bench.py on real TPU)."""
+
+    @pytest.mark.parametrize("wavelet,levels", [("Haar", 3), ("db4", 4), ("sym8", 2)])
+    def test_matches_separable_path(self, wavelet, levels, rng):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from jwave_tpu.ops.pallas_pyramid import fwt2d_fused
+        from jwave_tpu.transforms.fwt import fwt
+        from jwave_tpu.transforms.ndim import forward_2d
+
+        x = jnp.asarray(rng.standard_normal((512, 1024)), dtype=jnp.float32)
+        ref = forward_2d(lambda v, l: fwt(v, wavelet, l), x, levels, levels)
+        with pltpu.force_tpu_interpret_mode():
+            got = fwt2d_fused(x, wavelet, levels, levels)
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert float(jnp.max(jnp.abs(got - ref))) < 2e-6 * scale
+
+    def test_grad_is_linear_transpose(self, rng):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from jwave_tpu.ops.pallas_pyramid import fwt2d_fused
+        from jwave_tpu.transforms.fwt import fwt
+        from jwave_tpu.transforms.ndim import forward_2d
+
+        x = jnp.asarray(rng.standard_normal((512, 512)), dtype=jnp.float32)
+        w = jnp.asarray(rng.standard_normal((512, 512)), dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(lambda m: jnp.sum(fwt2d_fused(m, "db4", 3, 3) * w))(x)
+        g_ref = jax.grad(lambda m: jnp.sum(
+            forward_2d(lambda v, l: fwt(v, "db4", l), m, 3, 3) * w))(x)
+        assert float(jnp.max(jnp.abs(g - g_ref))) < 2e-5 * float(jnp.max(jnp.abs(g_ref)))
+
+    def test_public_fwt2d_fallback_matches(self, rng):
+        # CPU backend: public fwt2d routes to the separable path
+        import jwave_tpu as jw
+
+        x = jnp.asarray(rng.standard_normal((128, 256)))
+        from jwave_tpu.transforms.fwt import fwt
+        from jwave_tpu.transforms.ndim import forward_2d
+
+        ref = forward_2d(lambda v, l: fwt(v, "db4", l), x, 2, 2)
+        np.testing.assert_allclose(np.asarray(jw.fwt2d(x, "db4", 2, 2)),
+                                   np.asarray(ref), atol=1e-12)
+        back = jw.ifwt2d(ref, "db4", 2, 2)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-10)
