@@ -40,13 +40,7 @@ import jax.numpy as jnp
 from ..exceptions import JWaveFailure
 from ..filters import get_filter
 from ..filters.qshift import qshift_filters
-from ..ops.butterfly import (
-    butterfly_forward,
-    butterfly_reverse,
-    dual_butterfly_forward,
-    dual_butterfly_reverse,
-    ensure_float,
-)
+from ..ops.butterfly import butterfly_forward, butterfly_reverse, ensure_float
 
 _SQRT2 = math.sqrt(2.0)
 
@@ -109,21 +103,28 @@ def dtcwt(signal, levels: int, level1_wavelet: str = "sym4") -> DTCWTResult:
     fb = get_filter(level1_wavelet)
     (h0a, h1a), (h0b, h1b) = qshift_filters()
 
-    # level 1: tree B sees the signal advanced one sample — SAME bank, so
-    # the two trees ride one butterfly as an extra leading batch axis
-    xx = jnp.stack([x, jnp.roll(x, -1, axis=-1)], axis=0)  # (2, ..., N)
-    yy = butterfly_forward(xx, fb.dec_lo, fb.dec_hi)
+    # level 1: tree B sees the signal advanced one sample. (Stacking the
+    # two trees into one batched butterfly was measured 0.012 ms SLOWER
+    # at the bench shape — the stack materialization costs more HBM than
+    # the second op saves in issue overhead.)
+    ya = butterfly_forward(x, fb.dec_lo, fb.dec_hi)
+    yb = butterfly_forward(jnp.roll(x, -1, axis=-1), fb.dec_lo, fb.dec_hi)
     half = x.shape[-1] // 2
-    la, da = yy[0, ..., :half], yy[0, ..., half:]
-    lb, db = yy[1, ..., :half], yy[1, ..., half:]
+    la, da = ya[..., :half], ya[..., half:]
+    lb, db = yb[..., :half], yb[..., half:]
     highs = [jax.lax.complex(da, db) / _SQRT2]
     for _ in range(1, levels):
-        # q-shift levels: DIFFERENT banks per tree — one fused dual round
-        # (the per-level matmuls are latency-bound; see ops.mxu_butterfly.
-        # dual_butterfly_forward_mxu)
-        (la, da), (lb, db) = dual_butterfly_forward(
-            la, lb, (h0a, h1a), (h0b, h1b))
+        # q-shift levels: one butterfly per tree. (A fused dual round that
+        # feeds both banks' columns to both trees in one matmul was built
+        # and MEASURED SLOWER — 0.100 vs 0.075 ms at 8x65536 L6 on the
+        # v5e: the doubled-width outputs and 4-way column slicing cost
+        # more than the second matmul issue. Kernels kept in
+        # ops.mxu_butterfly as a tested dead-end; docs/PERFORMANCE.md.)
+        ya = butterfly_forward(la, h0a, h1a)
+        yb = butterfly_forward(lb, h0b, h1b)
         half //= 2
+        la, da = ya[..., :half], ya[..., half:]
+        lb, db = yb[..., :half], yb[..., half:]
         highs.append(jax.lax.complex(da, db) / _SQRT2)
     low = jnp.stack([la, lb], axis=-2)
     return DTCWTResult(tuple(highs), low, level1_wavelet)
@@ -138,16 +139,14 @@ def idtcwt(result: DTCWTResult) -> jnp.ndarray:
     lb = result.lowpasses[..., 1, :]
     for j in range(result.levels - 1, 0, -1):
         w = result.highpasses[j] * _SQRT2
-        la, lb = dual_butterfly_reverse(
-            (la, w.real), (lb, w.imag), (h0a, h1a), (h0b, h1b))
-    # level 1: same bank for both trees — one batched synthesis butterfly
+        la = butterfly_reverse(jnp.concatenate([la, w.real], axis=-1), h0a, h1a, 1.0)
+        lb = butterfly_reverse(jnp.concatenate([lb, w.imag], axis=-1), h0b, h1b, 1.0)
     w = result.highpasses[0] * _SQRT2
-    yy = jnp.stack([
-        jnp.concatenate([la, w.real], axis=-1),
-        jnp.concatenate([lb, w.imag], axis=-1),
-    ], axis=0)
-    xx = butterfly_reverse(yy, fb.rec_lo, fb.rec_hi, fb.recon_gain)
-    return 0.5 * (xx[0] + jnp.roll(xx[1], 1, axis=-1))
+    xa = butterfly_reverse(jnp.concatenate([la, w.real], axis=-1),
+                           fb.rec_lo, fb.rec_hi, fb.recon_gain)
+    xb = butterfly_reverse(jnp.concatenate([lb, w.imag], axis=-1),
+                           fb.rec_lo, fb.rec_hi, fb.recon_gain)
+    return 0.5 * (xa + jnp.roll(xb, 1, axis=-1))
 
 
 # --------------------------------------------------------------------------
@@ -160,23 +159,6 @@ def _butterfly_axis(x, lo, hi, axis):
     y = butterfly_forward(x, lo, hi)
     return jnp.swapaxes(y, axis, -1)
 
-
-def _dual_axis(xa, xb, fa, fbk, axis):
-    """Fused dual-bank analysis along ``axis``: returns ((lo_a, hi_a),
-    (lo_b, hi_b)) with that axis halved."""
-    xa = jnp.swapaxes(xa, axis, -1)
-    xb = jnp.swapaxes(xb, axis, -1)
-    (alo, ahi), (blo, bhi) = dual_butterfly_forward(xa, xb, fa, fbk)
-    sw = lambda t: jnp.swapaxes(t, axis, -1)
-    return (sw(alo), sw(ahi)), (sw(blo), sw(bhi))
-
-
-def _dual_axis_rev(parts_a, parts_b, fa, fbk, axis):
-    """Fused dual-bank synthesis along ``axis`` (adjoint of _dual_axis)."""
-    pa = tuple(jnp.swapaxes(t, axis, -1) for t in parts_a)
-    pb = tuple(jnp.swapaxes(t, axis, -1) for t in parts_b)
-    xa, xb = dual_butterfly_reverse(pa, pb, fa, fbk)
-    return jnp.swapaxes(xa, axis, -1), jnp.swapaxes(xb, axis, -1)
 
 
 def _ibutterfly_axis(y, lo, hi, axis):
@@ -269,16 +251,23 @@ def dtcwt2d(image, levels: int, level1_wavelet: str = "sym4") -> DTCWT2DResult:
 
     for _ in range(1, levels):
         # q-shift levels: the row bank depends only on rc[0] and the col
-        # bank only on rc[1], so the four tree products collapse to ONE
-        # fused dual round per axis (2 matmul rounds/level instead of 8)
+        # bank only on rc[1], so products sharing a bank batch together
+        # (2 stacked butterflies per axis; the fused dual-RHS round was
+        # measured slower in 1D — see dtcwt() — and is not used here)
         h, w = h // 2, w // 2
         rowA = jnp.stack([ll["aa"], ll["ab"]], axis=0)  # row-tree a
         rowB = jnp.stack([ll["ba"], ll["bb"]], axis=0)  # row-tree b
-        (rAlo, rAhi), (rBlo, rBhi) = _dual_axis(rowA, rowB, qa, qb, -2)
+        ytA = _butterfly_axis(rowA, qa[0], qa[1], -2)
+        ytB = _butterfly_axis(rowB, qb[0], qb[1], -2)
+        rAlo, rAhi = ytA[..., :h, :], ytA[..., h:, :]
+        rBlo, rBhi = ytB[..., :h, :], ytB[..., h:, :]
         # col groups by col tree: index 0 of each stack is col-tree a
         colA = jnp.stack([rAlo[0], rAhi[0], rBlo[0], rBhi[0]], axis=0)
         colB = jnp.stack([rAlo[1], rAhi[1], rBlo[1], rBhi[1]], axis=0)
-        (cAlo, cAhi), (cBlo, cBhi) = _dual_axis(colA, colB, qa, qb, -1)
+        ycA = _butterfly_axis(colA, qa[0], qa[1], -1)
+        ycB = _butterfly_axis(colB, qb[0], qb[1], -1)
+        cAlo, cAhi = ycA[..., :w], ycA[..., w:]
+        cBlo, cBhi = ycB[..., :w], ycB[..., w:]
         subs = {  # (LL, LH, HL, HH) per tree product
             "aa": (cAlo[0], cAhi[0], cAlo[1], cAhi[1]),
             "ba": (cAlo[2], cAhi[2], cAlo[3], cAhi[3]),
@@ -346,16 +335,24 @@ def idtcwt2d(result: DTCWT2DResult) -> jnp.ndarray:
         aB, dB = col_parts("ba")
         a2, d2 = col_parts("ab")
         b2, e2 = col_parts("bb")
-        colA = (jnp.stack([aA, aB], axis=0), jnp.stack([dA, dB], axis=0))
-        colB = (jnp.stack([a2, b2], axis=0), jnp.stack([d2, e2], axis=0))
-        yA, yB = _dual_axis_rev(colA, colB, qa, qb, -1)  # col-tree a / b
+        colA = jnp.concatenate([jnp.stack([aA, aB], axis=0),
+                                jnp.stack([dA, dB], axis=0)], axis=-1)
+        colB = jnp.concatenate([jnp.stack([a2, b2], axis=0),
+                                jnp.stack([d2, e2], axis=0)], axis=-1)
+        yA = _ibutterfly_axis(colA, qa[0], qa[1], -1)  # col-tree a
+        yB = _ibutterfly_axis(colB, qb[0], qb[1], -1)  # col-tree b
         # row inverse: group by row tree — yA holds (aa, ba), yB (ab, bb)
         hh = yA.shape[-2] // 2
-        rowA = (jnp.stack([yA[0, ..., :hh, :], yB[0, ..., :hh, :]], axis=0),
-                jnp.stack([yA[0, ..., hh:, :], yB[0, ..., hh:, :]], axis=0))
-        rowB = (jnp.stack([yA[1, ..., :hh, :], yB[1, ..., :hh, :]], axis=0),
-                jnp.stack([yA[1, ..., hh:, :], yB[1, ..., hh:, :]], axis=0))
-        xA, xB = _dual_axis_rev(rowA, rowB, qa, qb, -2)
+        rowA = jnp.concatenate([
+            jnp.stack([yA[0, ..., :hh, :], yB[0, ..., :hh, :]], axis=0),
+            jnp.stack([yA[0, ..., hh:, :], yB[0, ..., hh:, :]], axis=0),
+        ], axis=-2)
+        rowB = jnp.concatenate([
+            jnp.stack([yA[1, ..., :hh, :], yB[1, ..., :hh, :]], axis=0),
+            jnp.stack([yA[1, ..., hh:, :], yB[1, ..., hh:, :]], axis=0),
+        ], axis=-2)
+        xA = _ibutterfly_axis(rowA, qa[0], qa[1], -2)
+        xB = _ibutterfly_axis(rowB, qb[0], qb[1], -2)
         ll = {"aa": xA[0], "ab": xA[1], "ba": xB[0], "bb": xB[1]}
     # level 1: same bank everywhere — one batched synthesis per axis
     quads = _unorient(result.highpasses[0])
