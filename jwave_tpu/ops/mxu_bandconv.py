@@ -87,8 +87,11 @@ def plan(m: int, S: int, T: int) -> str | None:
     G = -(-E // S)
     D = -(-T // S) + 1
     lane_ok = G <= 8 and m % (S * LANES) == 0
-    block_ok = S >= 32 and D <= 512 and m % S == 0
-    # issued matmul FLOPs per row: lane m*128*G, block m*ceil128(D)
+    # block's diagonal D-fold sum lowers to D pad+add passes over the
+    # (m/S, D) intermediate — fine for the phi lowpass (D <= 10), a
+    # multi-GB pad storm at D ~ 70 (second HLO audit). Lane reads the
+    # input G (~2) times and writes only m/S: prefer it whenever legal.
+    block_ok = S >= 32 and D <= 16 and m % S == 0
     fft_equiv = int(30 * 5 * m * max(np.log2(m), 1))
     if block_ok and (not lane_ok or m * _ceil128(D) < m * LANES * G):
         return "block" if m * _ceil128(D) <= fft_equiv else None

@@ -122,6 +122,22 @@ def fwt1d_mxu_model():
     }
 
 
+def fwt2d_pallas_model():
+    # round 4: the whole standard decomposition runs as TWO Pallas passes
+    # (ops/pallas_pyramid.py) — each axis pass reads the matrix once and
+    # writes it once (transposed); every level's butterflies stay in VMEM.
+    # Issued FLOPs are identical to the XLA pyramid's banded tiles.
+    n = 2048
+    split_h = [2048, 1024]
+    flops = 2 * sum(n * h * 768 for h in split_h) + 2 * n * 512 * 2 * 512
+    return {
+        "flops": flops,
+        "bytes": 2 * F32 * n * n * 2,  # one read + one write per axis pass
+        "engine": "mxu",
+        "note": "2 fused Pallas passes: 1 read + 1 transposed write each",
+    }
+
+
 def fwt2d_model():
     # separable 2048x2048 rectangle decomposition via the fused MXU pyramid
     # (ops.mxu_pyramid): per axis pass, split pair-tile butterflies at
@@ -186,9 +202,16 @@ def wpt_mxu_model():
 
 
 def scattering1d_model():
-    # reformulated per-band decimation (transforms/scattering.py): count
-    # the actual FFT work from the trace-time rate assignment
-    from jwave_tpu.transforms.scattering import scattering_filter_bank, _sigma_for
+    # round-4 formulation (transforms/scattering.py + ops/mxu_bandconv.py):
+    # the only FFT work left is one forward fft of the padded signal plus
+    # TWO real-input ffts per order-1 band group (the ifft_mag identity);
+    # order 2 and every lowpass are strided tile convs / composed matmuls
+    # on the MXU, converted to FFT-engine-equivalent time for the
+    # single-engine SoL (at 32.8 T they are a small minority of the row).
+    import numpy as np
+    from jwave_tpu.transforms.scattering import (
+        MAX_LOWPASS_M, _sigma_for, scattering_filter_bank)
+    from jwave_tpu.ops.mxu_bandconv import conv_taps, plan
 
     b, n, J, Q = 8, 65536, 8, 8
     padded = 1 << (2 * n - 1).bit_length()
@@ -204,38 +227,74 @@ def scattering1d_model():
             r *= 2
         return r
 
-    import numpy as np
-
     r1 = np.array([
         rate_for(max(cut2[bank.paths[bank.paths[:, 0] == k, 1]].max()
                      if (bank.paths[:, 0] == k).any() else 0.0, 32.0 * sig1[k]))
         for k in range(len(bank.xi1))
     ])
     rp = np.array([max(rate_for(cut2[k2]), r1[k1]) for k1, k2 in bank.paths])
-    f = _cfft_flops(padded)  # one FFT unit at full rate
-    max_lp = 16384  # scattering.MAX_LOWPASS_M: composed-matmul gate
+
+    def gf(r):
+        m = padded // r
+        i = np.arange(m, dtype=np.float64)
+        f = i / m
+        f[i > m // 2] -= 1.0
+        return f / r
+
+    fft_units = 1.0  # X = fft(xp)
+    mxu = 0.0        # MXU FLOPs (convs + composed lowpass matmuls)
+    bytes_ = F32 * b * n  # read x
     frames = -(-n // stride)
-    units = 1 + 1  # X fft + s0 ifft (full grid: above the matmul gate)
-    mm = 0.0  # composed sampled-circulant lowpass matmul FLOPs
-    for r in r1:  # u1 ifft + V1 fft (+ s1 ifft where the matmul can't bake)
-        units += 2.0 / r + (1.0 / r if padded // r > max_lp else 0.0)
-        if padded // r <= max_lp:
-            mm += (padded // r) * frames * 2
-    for r in rp:  # u2 ifft (+ fft + s2 ifft where the matmul can't bake)
-        units += 1.0 / r + (2.0 / r if padded // r > max_lp else 0.0)
-        if padded // r <= max_lp:
-            mm += (padded // r) * frames * 2
-    mults = (len(bank.xi1) + len(bank.paths)) * padded * 6
+    sigma_phi = 0.35 * 2.0 ** (-float(J)) / np.sqrt(2 * np.log(2.0))
+    for r in sorted(set(r1.tolist())):
+        kg = int((r1 == r).sum())
+        m = padded // r
+        fft_units += kg * 2.0 / r  # ifft_mag: two real-input ffts per band
+        bytes_ += F32 * b * kg * m * 2  # u1 write + read (order 2 reuse)
+        if m <= MAX_LOWPASS_M:
+            mxu += b * kg * m * frames * 2  # composed lowpass matmul
+        else:
+            phi = np.exp(-(gf(r) ** 2) / (2 * sigma_phi**2))
+            T = len(conv_taps(phi)[0])
+            S = stride // r
+            D = -(-T // S) + 1
+            mxu += b * kg * m * (-(-D // 128) * 128) * 2
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for p, (k1, k2) in enumerate(bank.paths):
+        groups[(int(r1[k1]), int(k2))].append(p)
+    for (r, k2), plist in groups.items():
+        m = padded // r
+        R = int(rp[plist[0]])
+        S = R // r
+        psi2 = np.exp(-((gf(r) - bank.xi2[k2]) ** 2) / (2 * sig2[k2] ** 2))
+        T = len(conv_taps(psi2)[0])
+        form = plan(m, S, T)
+        rows_ = b * len(plist)
+        if form == "lane":
+            E = -(-(S * 127 + T) // 128)
+            G = -(-E // S)
+            mxu += rows_ * m * 128 * G * 2 * 2  # complex taps: 2 components
+        elif form == "block":
+            D = -(-T // S) + 1
+            mxu += rows_ * m * (-(-D // 128) * 128) * 2 * 2
+        else:
+            fft_units += len(plist) * 3.0 / R  # spectral fallback
+        mr = m // S
+        bytes_ += F32 * rows_ * (m + 2 * mr)  # u_stack + u2 parts
+        if mr <= MAX_LOWPASS_M:
+            mxu += rows_ * mr * frames * 2
+        else:
+            mxu += rows_ * mr * 128 * 2
     out_bands = 1 + len(bank.xi1) + len(bank.paths)
-    # mm runs on the MXU: convert to FFT-engine-equivalent time (the model
-    # is single-engine; at 35.6 T the matmuls are ~3% of the row)
-    mm *= FFT_EFF / MXU_F32_HIGHEST
+    bytes_ += F32 * b * out_bands * frames
+    f = _cfft_flops(padded)
+    mults = len(bank.xi1) * padded * 6  # X * psi1 spectral multiplies
     return {
-        "flops": b * (units * f + mults + mm),
-        "bytes": F32 * b * (n + out_bands * (n // stride))
-        + 8 * b * sum(padded / r for r in r1),  # c64 V1 intermediates
+        "flops": b * fft_units * f + mults + mxu * (FFT_EFF / MXU_F32_HIGHEST),
+        "bytes": bytes_,
         "engine": "fft",
-        "note": f"{units:.0f} full-rate FFT units after decimation + composed lowpass (was {2 + 3 * len(bank.xi1) + 3 * len(bank.paths)} pre-round-3)",
+        "note": f"{fft_units:.0f} FFT units (1 fwd + 2/r per band; was ~200 eq pre-r4) + MXU tap convs",
     }
 
 
@@ -255,24 +314,48 @@ def wvd_model():
 
 
 def scattering2d_model():
-    # 256^2 image -> 512^2 padded grid, J=3, L=8: after the composed-
-    # lowpass reassociation the FFT work is X(1) + u1 ifft2(JL) +
-    # V1 fft2(JL) + u2 ifft2(P2) full-size units; every s0/s1/s2 output
-    # is two skinny sampled-circulant matmuls (rows/cols = 32 of 512)
+    # round-4 box-matmul formulation (ops/mxu_dft2d.py): FFT work is
+    # X fft2 (1) + scale-0 u1 ifft2 (L, boxes ~ full plane) + V1 fft2
+    # (J*L); every other band conv is two skinny complex matmuls on the
+    # bump's support box, and every lowpass two composed sampled-circulant
+    # matmuls — MXU FLOPs converted to FFT-engine-equivalent time.
+    import numpy as np
+    from jwave_tpu.transforms.scattering import scattering_filter_bank_2d
+    from jwave_tpu.ops.mxu_dft2d import filter_box
+
     py = px = 512
-    jl, p2, frames = 24, 192, 32
-    fft2_unit = 2 * py * _cfft_flops(px)  # both axes, one 512^2 plane
-    units = 1 + jl + jl + p2
-    mults = (jl + p2) * py * px * 6
-    # the skinny lowpass matmuls run on the MXU, not the FFT engine:
-    # convert their FLOPs to FFT-engine-equivalent time for the 1-engine SoL
-    lp = (1 + jl + p2) * (py * px * frames + frames * px * frames) * 2
-    lp_eq = lp * (FFT_EFF / MXU_F32_HIGHEST)
+    J, L = 3, 8
+    frames = 32
+    bank = scattering_filter_bank_2d(py, px, J, L)
+    bx = [filter_box(bank.psi_hat[k]) for k in range(J * L)]
+    fft2_unit = 2 * py * _cfft_flops(px)
+    fft_units = 1.0  # X
+    mxu = 0.0
+    bytes_ = F32 * py * px
+    for j in range(J):
+        ks = range(j * L, (j + 1) * L)
+        dy = max(bx[k][1] for k in ks)
+        dx = max(bx[k][3] for k in ks)
+        if dy > 0.85 * py or dx > 0.85 * px:
+            fft_units += L  # spectral scale group
+        else:
+            # |E0y @ S @ E0x|: Karatsuba 3 matmuls per side
+            mxu += L * 3 * (dy * dx * px + py * dy * px) * 2
+        bytes_ += F32 * L * py * px * 2  # u1 write + read
+    fft_units += J * L  # V1 = fft2(u1)
+    p2 = len(bank.paths)
+    for k1, k2 in bank.paths:
+        dy, dx = bx[k2][1], bx[k2][3]
+        mxu += 3 * (dy * dx * px + py * dy * px) * 2
+        bytes_ += F32 * py * px  # u2 write
+    # lowpass: (1 + JL + P2) outputs, two composed matmuls each
+    mxu += (1 + J * L + p2) * (py * px * frames + frames * px * frames) * 2
+    bytes_ += F32 * p2 * py * px + F32 * (1 + J * L + p2) * frames**2
     return {
-        "flops": units * fft2_unit + mults + lp_eq,
-        "bytes": 8 * (jl + p2) * py * px * 2 + F32 * (1 + jl + p2) * frames**2,
+        "flops": fft_units * fft2_unit + mxu * (FFT_EFF / MXU_F32_HIGHEST),
+        "bytes": bytes_,
         "engine": "fft",
-        "note": f"{units} full fft2 units (was 650 pre-reassociation) + skinny lowpass matmuls",
+        "note": f"{fft_units:.0f} fft2 units (was 241 in r3, 650 in r2) + box/lowpass matmuls",
     }
 
 
@@ -293,14 +376,15 @@ def superlet_model():
 
 
 def dtcwt1d_model():
-    # 2 trees x L levels of stride-2 10-tap convs on shrinking prefixes
-    b, n, m, levels = 8, 65536, 10, 6
+    # 2 trees x 6 levels of pair-tile MXU butterflies (E = 3 structure:
+    # 768 issued FLOPs per processed sample incl. structural zeros)
+    b, n, levels = 8, 65536, 6
     h_total = sum(n >> l for l in range(levels))
     return {
-        "flops": b * 2 * h_total * m * 2,
+        "flops": b * 2 * h_total * 768,
         "bytes": F32 * b * n * 2,
-        "engine": "vpu",
-        "note": "2 trees of decimating q-shift convs",
+        "engine": "mxu",
+        "note": "2 trees of pair-tile stride-2 matmuls (zeros charged)",
     }
 
 
@@ -343,16 +427,17 @@ MEASURED_MS = {
     "modwt_db4_L5 (telescoped FFT)": (3.756, modwt_fft_model),
     "fwt1d_db4_L8 (conv)": (1.355, fwt1d_model),
     "fwt1d_db4_L8 (MXU tiles)": (0.298, fwt1d_mxu_model),
-    "fwt2d_db4_L6_2048": (0.517, fwt2d_model),
+    "fwt2d_db4_L6_2048 (Pallas fused)": (0.382, fwt2d_pallas_model),
+    "fwt2d_db4_L6_2048 (XLA separable)": (0.424, fwt2d_model),
     "fwt3d_db4_L4_256": (1.117, fwt3d_model),
     "wpt_db4_L6 (fused conv)": (1.202, wpt_model),
     "wpt_db4_L6 (MXU tiles)": (0.285, wpt_mxu_model),
     "cwt_morlet_64scales_1M": (13.37, cwt_model),
-    "scattering1d_J8_Q8_8x64K": (74.32, scattering1d_model),
-    "scattering2d_J3_L8_256": (27.16, scattering2d_model),
+    "scattering1d_J8_Q8_8x64K": (32.98, scattering1d_model),
+    "scattering2d_J3_L8_256": (6.46, scattering2d_model),
     "wvd_512bins_8x4K": (1.167, wvd_model),
     "superlet_64f_o16_8x16K": (6.85, superlet_model),
-    "dtcwt1d_L6_8x64K": (0.038, dtcwt1d_model),  # probe value; the full-bench 0.014 is below timer resolution
+    "dtcwt1d_L6_8x64K": (0.074, dtcwt1d_model),  # k=512 chain; earlier k<=16 readings were below the relay timer floor
     "denoise_modwt_8x64K": (0.135, denoise_modwt_model),
 }
 
@@ -362,7 +447,8 @@ BENCH_KEY_MAP = {
     "modwt_db4_L5_fft": "modwt_db4_L5 (telescoped FFT)",
     "fwt1d_db4_L8": "fwt1d_db4_L8 (MXU tiles)",
     "fwt1d_db4_L8_conv": "fwt1d_db4_L8 (conv)",
-    "fwt2d_db4_L6_2048": "fwt2d_db4_L6_2048",
+    "fwt2d_db4_L6_2048": "fwt2d_db4_L6_2048 (Pallas fused)",
+    "fwt2d_db4_L6_2048_xla": "fwt2d_db4_L6_2048 (XLA separable)",
     "fwt3d_db4_L4_256": "fwt3d_db4_L4_256",
     "wpt_db4_L6": "wpt_db4_L6 (MXU tiles)",
     "wpt_db4_L6_conv": "wpt_db4_L6 (fused conv)",
