@@ -298,8 +298,11 @@ def main():
     # 2D FWT on 2048x2048 (BASELINE config #4 single-chip) — public fwt2d:
     # two fused Pallas pyramid passes on TPU (ops/pallas_pyramid.py)
     img = jax.device_put(jnp.asarray(rng.standard_normal((2048, 2048)), dtype=jnp.float32))
+    # heavy=True: a length-1 scan of the Pallas kernel deterministically
+    # crashes this relay's compile helper (longer chains are fine —
+    # docs/TPU_BACKEND_NOTES.md); the single-compile path never builds one
     row("fwt2d_db4_L6_2048", lambda m: jw.fwt2d(m, "Daubechies 4", 6, 6),
-        img, k=64, throughput=("Mpix_per_s", 2048 * 2048))
+        img, k=64, heavy=True, throughput=("Mpix_per_s", 2048 * 2048))
     if dev.platform != "cpu":
         # the separable XLA path for comparison (the pre-round-4 formulation)
         row("fwt2d_db4_L6_2048_xla",

@@ -15,10 +15,17 @@ row — the minimum possible. The circular wrap needs no filter wrapping
 because ``roll`` is mod-N by construction.
 
 Same linear operator as ConvolutionMethod.DIRECT (and, up to rounding,
-FFT); selected automatically on TPU backends for float32 inputs. The XLA
-conv-based DIRECT path on TPU MXUs additionally needed
+FFT). The XLA conv-based DIRECT path on TPU MXUs additionally needed
 ``precision=HIGHEST`` to avoid bf16 rounding — this kernel runs in full
 float32 on the VPU by construction.
+
+ROLE (round 4, measured): a **compatibility fallback and cross-validation
+formulation**, not the fast path — the VPU roll/FMA cascade reaches ~7%
+of its HBM bound and is ~4x slower than the MXU composite-tile default at
+the headline shape (docs/PERFORMANCE.md roofline). AUTO never selects it;
+request it explicitly via ``ConvolutionMethod.PALLAS`` when you want an
+independent kernel to check the tile paths against, or a formulation with
+no MXU dependence.
 """
 from __future__ import annotations
 
