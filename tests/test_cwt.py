@@ -110,6 +110,7 @@ def test_cwt_fft_matches_freq_domain_oracle(rng):
     np.testing.assert_allclose(got, want, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_cwt_fft_vs_direct_shape(rng):
     """Both paths localize the same tone at the same scale (amplitudes
     differ by the reference's psi/psi_hat normalization quirk)."""

@@ -106,6 +106,7 @@ def test_denoise_2d_improves_mse(method, rng):
     assert np.mean((out - clean) ** 2) < 0.25 * np.mean((noisy - clean) ** 2)
 
 
+@pytest.mark.slow
 def test_denoise_2d_batched_and_errors(rng):
     from jwave_tpu.denoise import denoise_2d
 

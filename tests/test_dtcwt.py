@@ -114,6 +114,7 @@ class TestDTCWT1D:
 
 
 class TestDTCWT2D:
+    @pytest.mark.slow
     def test_perfect_reconstruction(self, rng):
         img = jnp.asarray(rng.standard_normal((2, 64, 64)))
         res = jw.dtcwt2d(img, 3)
@@ -146,6 +147,7 @@ class TestDTCWT2D:
             other = e[4 if band == 1 else 1]
             assert e[band] > 5.0 * other
 
+    @pytest.mark.slow
     def test_shift_invariance_2d(self, rng):
         img = np.zeros((64, 64))
         img[32, 32] = 1.0
@@ -156,6 +158,7 @@ class TestDTCWT2D:
                       for i in range(2) for j in range(4)])
         assert (e.std(0) / (e.mean(0) + 1e-30)).max() < 0.25
 
+    @pytest.mark.slow
     def test_jit_vmap_grad(self, rng):
         img = jnp.asarray(rng.standard_normal((2, 32, 32)))
         f = jax.jit(lambda a: jw.idtcwt2d(jw.dtcwt2d(a, 2)))

@@ -9,6 +9,7 @@ import pytest
 import jwave_tpu as jw
 
 
+@pytest.mark.slow
 def test_grad_through_fwt(rng):
     """d/dx ||FWT(x)||^2 = 2x for orthonormal banks (Parseval)."""
     x = jnp.asarray(rng.standard_normal(64))
@@ -36,6 +37,7 @@ def test_grad_through_cwt(rng):
     assert np.all(np.isfinite(g)) and np.any(g != 0)
 
 
+@pytest.mark.slow
 def test_vmap_fwt(rng):
     xs = jnp.asarray(rng.standard_normal((6, 128)))
     vm = np.asarray(jax.vmap(lambda a: jw.fwt(a, "sym4"))(xs))

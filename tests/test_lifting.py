@@ -150,6 +150,7 @@ def test_linearity(rng):
     np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-11)
 
 
+@pytest.mark.slow
 def test_facade_2d_3d_roundtrip(rng):
     t = jw.Transform(jw.LiftingWaveletTransform("cdf97"))
     mat = rng.standard_normal((32, 64))

@@ -134,6 +134,7 @@ def test_circular_fft_helpers_match_direct(rng):
     )
 
 
+@pytest.mark.slow
 def test_modwt_2d_separable(rng):
     """2D MODWT subband (jr, jc) == columns-level-jr applied to the
     rows-level-jc coefficients; perfect reconstruction."""
@@ -190,6 +191,7 @@ def test_empty_input_parity():
 # --------------------------------------------------------------------------
 
 class TestMRAandVariance:
+    @pytest.mark.slow
     def test_mra_additivity_any_length(self, rng):
         for n in (500, 512, 1000):
             x = jnp.asarray(rng.standard_normal((2, n)))
@@ -262,6 +264,7 @@ class TestMRAandVariance:
         with pytest.raises(jw.JWaveFailure):
             jw.modwt_mra_2d(img, "db2", 2, truncate=False)
 
+    @pytest.mark.slow
     def test_review_regressions(self, rng):
         # plain-sequence inputs (no .shape before asarray)
         mra = np.asarray(jw.modwt_mra([0.0, 1.0, 2.0, 3.0], "Haar", 1))
@@ -359,6 +362,7 @@ class TestLongMemoryEstimators:
         h = float(jw.hurst_exponent(x, "db4", kind="fbm"))
         assert abs(h - H) < 0.1
 
+    @pytest.mark.slow
     def test_white_noise_is_half(self, rng):
         xb = jnp.asarray(rng.standard_normal((4, 1 << 14)))
         h = np.asarray(jw.hurst_exponent(xb))

@@ -19,6 +19,7 @@ class TestMorseWavelet:
         neg = np.asarray(w.psi_hat(jnp.asarray([-2.0, -0.5, 0.0])))
         np.testing.assert_array_equal(neg, 0.0)
 
+    @pytest.mark.slow
     def test_time_domain_synthesis_parseval(self):
         # psi(t) from numerical Fourier inversion must carry the same energy
         # as the closed-form spectrum: ||psi||^2 = (1/2pi) ||psi_hat||^2
@@ -51,6 +52,7 @@ class TestMorseWavelet:
         numeric = np.trapezoid(mag2 / om, om)
         np.testing.assert_allclose(w.admissibility_constant(), numeric, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_cwt_and_ssq_localize_a_tone(self):
         fs, n = 1000.0, 2048
         x = jnp.asarray(np.cos(2 * np.pi * 50.0 * np.arange(n) / fs))
@@ -76,6 +78,7 @@ class TestMorseWavelet:
         with pytest.raises(ValueError):
             jw.MorseWavelet(20.0, 0.0)
 
+    @pytest.mark.slow
     def test_direct_cwt_path_uses_numeric_psi(self):
         fs = 1000.0
         x = jnp.asarray(np.cos(2 * np.pi * 50.0 * np.arange(512) / fs))

@@ -59,6 +59,7 @@ def test_wrap_when_filter_outruns_tiles():
     )
 
 
+@pytest.mark.slow
 def test_fwt_pyramid_through_dial(force_mxu):
     x = jnp.asarray(RNG.standard_normal((4, 4096)))
     config.set_mxu_butterfly("off")
@@ -81,6 +82,7 @@ def test_wpt_unfused_through_dial(force_mxu):
     np.testing.assert_allclose(rec, x, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_2d_through_dial(force_mxu):
     from jwave_tpu.transforms.ndim import forward_2d, reverse_2d
 
@@ -123,6 +125,7 @@ def test_eligibility_gates():
         config.set_mxu_butterfly("sometimes")
 
 
+@pytest.mark.slow
 def test_odd_levels_fall_back_small_heads(force_mxu):
     # full-depth FWT: heads shrink through the dense small-h regime
     # (h <= 128) and the h=192-style gap is impossible for pow-2 pyramids;
@@ -209,6 +212,7 @@ def test_fused_pyramid_level_zero(force_mxu):
     np.testing.assert_allclose(jw.ifwt(x, "db4", 0), x, atol=0)
 
 
+@pytest.mark.slow
 def test_fused_pyramid_decompose_consistency(force_mxu):
     # fwt_decompose reuses fwt per level; each bundle row must match the
     # dial-off row exactly at roundoff

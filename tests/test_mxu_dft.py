@@ -145,6 +145,7 @@ class TestConsumers:
             b = np.asarray(getattr(r_old, name))
             assert np.max(np.abs(a - b)) < max(tol * np.max(np.abs(b)), 1e-12), name
 
+    @pytest.mark.slow
     def test_scattering2d_composed_lowpass_matches_spectral(self, rng):
         """MXU path (composed lowpass + round-4 box-matmul band convs) vs
         the spectral hatch. Round 3 was bit-identical; round 4 restricts

@@ -73,6 +73,7 @@ def test_tile_budget_policy():
     assert mxu_tile_count("db4", 13, 65536) > MXU_TILE_BUDGET
 
 
+@pytest.mark.slow
 def test_mxu_grad_and_vmap():
     x = jnp.asarray(RNG.standard_normal((2, 256)))
     g = jax.grad(lambda a: jw.modwt(a, "db4", 3, method=ConvolutionMethod.MXU).sum())(x)

@@ -83,6 +83,7 @@ def test_aed_chunks_match_direct(rng):
 
 
 @pytest.mark.parametrize("n", [16, 24, 37, 1024])
+@pytest.mark.slow
 def test_shifting_roundtrip(n, rng):
     x = rng.standard_normal(n)
     y = jw.shifting_forward(jnp.asarray(x), "Haar")

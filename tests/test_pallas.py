@@ -87,6 +87,7 @@ def test_pallas_reassign_matches_scatter(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_reassign_in_ssq(rng):
     import jwave_tpu as jw
 
@@ -117,6 +118,7 @@ class TestFusedPyramid2D:
         scale = float(jnp.max(jnp.abs(ref)))
         assert float(jnp.max(jnp.abs(got - ref))) < 2e-6 * scale
 
+    @pytest.mark.slow
     def test_grad_is_linear_transpose(self, rng):
         from jax.experimental.pallas import tpu as pltpu
 

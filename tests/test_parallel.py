@@ -273,6 +273,7 @@ def test_modwt_fft_sharded_deep_level_beyond_halo_cap(mesh, rng):
     np.testing.assert_allclose(got, want, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_modwt_fft_sharded_roundtrip(mesh, rng):
     from jwave_tpu.parallel import imodwt_fft_sharded, modwt_fft_sharded
 
@@ -315,6 +316,7 @@ def test_cwt_time_sharded_validates(mesh):
         cwt_time_sharded(jnp.zeros(1000), [1.0], "morlet", mesh)  # not pow2
 
 
+@pytest.mark.slow
 def test_cascade_responses_device_eval_matches_host_fft(mesh):
     """The on-device modular-doubling evaluation of the cascade responses
     must equal the host-side FFT-built spectra (transforms/modwt.py) for

@@ -117,6 +117,7 @@ def test_chunking_invariance(rng):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_batched_leading_axes(rng):
     sig = rng.standard_normal((4, 2, 200))
     st = sliding_modwt_init(jnp.asarray(sig[..., :128]), "haar", 4)

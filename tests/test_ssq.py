@@ -22,6 +22,7 @@ def tone(f0, n=4096, fs=FS, phase=0.0):
 
 
 class TestSSQForward:
+    @pytest.mark.slow
     def test_tone_concentrates_to_its_bin(self):
         res = jw.ssq_cwt(jnp.asarray(tone(50.0)), SCALES, jw.MorletWavelet(1, 1), FS)
         n = res.n_time
@@ -36,6 +37,7 @@ class TestSSQForward:
         rk = int(raw_e.argmax())
         assert raw_e[max(0, rk - 2) : rk + 3].sum() / raw_e.sum() < 0.8
 
+    @pytest.mark.slow
     def test_ridge_tracks_linear_chirp(self):
         n = 8192
         t = np.arange(n) / FS
@@ -76,6 +78,7 @@ class TestSSQForward:
         jitted = jax.jit(lambda s: jw.ssq_cwt(s, SCALES, wav, FS).Tx)(x)
         np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager), atol=1e-10)
 
+    @pytest.mark.slow
     def test_dense_reassign_matches_scatter(self):
         # the accelerator path (masked compare-and-reduce) must agree with
         # the CPU scatter-add exactly up to summation order
@@ -181,6 +184,7 @@ class TestSSQInverse:
 
 
 class TestRidgeExtraction:
+    @pytest.mark.slow
     def test_two_tone_ridges_and_mode_separation(self):
         n = 4096
         t = np.arange(n) / FS
@@ -243,6 +247,7 @@ class TestRidgeExtraction:
 
 
 class TestReviewRegressions:
+    @pytest.mark.slow
     def test_band_tuple_under_jit(self):
         res = jw.ssq_cwt(jnp.asarray(tone(50.0, n=1024)), SCALES, "morlet", FS)
         f = jax.jit(lambda r: jw.issq_cwt(r, "morlet", band=(30.0, 70.0)))

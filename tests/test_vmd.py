@@ -64,6 +64,7 @@ class TestDecomposition:
 
 
 class TestComposability:
+    @pytest.mark.slow
     def test_batch_and_vmap_parity(self, rng):
         xb = jnp.asarray(rng.standard_normal((3, 512)))
         rb = jw.vmd(xb, 2, n_iter=80)
@@ -84,6 +85,7 @@ class TestComposability:
         back = jax.tree_util.tree_unflatten(treedef, leaves)
         assert back.n_modes == 2
 
+    @pytest.mark.slow
     def test_grad_finite(self, rng):
         x = jnp.asarray(rng.standard_normal(256))
         g = jax.grad(lambda s: jnp.sum(jw.vmd(s, 2, n_iter=30).modes ** 2))(x)
