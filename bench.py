@@ -304,20 +304,28 @@ def main():
     row("fwt2d_db4_L6_2048", lambda m: jw.fwt2d(m, "Daubechies 4", 6, 6),
         img, k=64, heavy=True, throughput=("Mpix_per_s", 2048 * 2048))
     if dev.platform != "cpu":
-        # the separable XLA path for comparison (the pre-round-4 formulation)
+        # the separable XLA path for comparison (the pre-round-4
+        # formulation, pinned to ops.mxu_pyramid so it cannot route into
+        # the Pallas kernels)
+        from jwave_tpu.filters import get_filter as _getf
+        from jwave_tpu.ops.mxu_pyramid import fwt_forward_fused as _fff
+
+        _fb4 = _getf("Daubechies 4")
         row("fwt2d_db4_L6_2048_xla",
-            lambda m: forward_2d(lambda v, level: fwt(v, "Daubechies 4", level), m, 6, 6),
+            lambda m: forward_2d(lambda v, level: _fff(v, _fb4, level), m, 6, 6),
             img, k=64, throughput=("Mpix_per_s", 2048 * 2048))
 
-    # 1D FWT multi-level (BASELINE config #2: 64K samples, 8 levels)
+    # 1D FWT multi-level (BASELINE config #2: 64K samples, 8 levels) —
+    # routes to the fused Pallas rows pass on TPU (ops/pallas_pyramid.py);
+    # heavy: length-1 Pallas scans crash the relay compile helper
     row("fwt1d_db4_L8", lambda a: fwt(a, "Daubechies 4", 8), x, k=128,
-        throughput=("Msamples_per_s", batch * n))
+        heavy=True, throughput=("Msamples_per_s", batch * n))
 
     # 3D FWT on a 256^3 volume (config #4)
     vol = jax.device_put(jnp.asarray(rng.standard_normal((256, 256, 256)), dtype=jnp.float32))
     row("fwt3d_db4_L4_256",
         lambda v: forward_3d(lambda a, level: fwt(a, "Daubechies 4", level), v, 4, 4, 4),
-        vol, k=32, throughput=("Mvox_per_s", 256**3))
+        vol, k=32, heavy=True, throughput=("Mvox_per_s", 256**3))
 
     # WPT 6-level
     row("wpt_db4_L6", lambda a: jw.wpt(a, "Daubechies 4", 6), x, k=128,

@@ -173,12 +173,18 @@ def _pyramid_rows_kernel_nodense(x_ref, wp_ref, wt_ref, out_ref, *, split, dense
 
 
 def _xla_reference(x, fb, level_rows, level_cols):
-    """The separable XLA path (for the linear-transpose VJP)."""
-    from ..transforms.fwt import fwt as _fwt
+    """The separable XLA path (for the linear-transpose VJP). Must stay on
+    plain XLA ops end to end — jax.linear_transpose cannot see through a
+    custom_vjp, so this bypasses transforms.fwt (which routes to the
+    Pallas 1D kernel) and calls the mxu_pyramid composition directly."""
     from ..transforms.ndim import forward_2d
+    from .mxu_pyramid import fwt_forward_fused
+
+    big = 10**9
 
     return forward_2d(
-        lambda v, lvl: _fwt(v, fb.name, lvl), x, level_rows, level_cols
+        lambda v, lvl: fwt_forward_fused(v, fb, big if lvl is None else lvl),
+        x, level_rows, level_cols,
     )
 
 
@@ -210,3 +216,151 @@ def _fused_bwd(wavelet_name, level_rows, level_cols, shape, g):
 
 
 fwt2d_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# --------------------------------------------------------------------------
+# 1D batched variant — same kernel, output NOT transposed
+# --------------------------------------------------------------------------
+
+def _pyramid_rows_kernel_flat(x_ref, wp_ref, wt_ref, wd_ref, out_ref, *, split,
+                              dense_h, prec, br):
+    """In-place variant: subbands are STORED into out_ref slices and the
+    next level reads its shrinking head back from out_ref — full-width
+    value concatenates per level (the 2D kernel's style) blew the Mosaic
+    compile helper past n = 8192."""
+    n = x_ref.shape[-1]
+    out_ref[:, :] = x_ref[:]
+    wp = wp_ref[:]
+    wt = wt_ref[:]
+    for h in split:
+        to = h // (2 * LANES)
+        head = out_ref[:, :h]
+        z = head.reshape(br * to, 2 * LANES)
+        y = lax.dot_general(z, wp, (((1,), (0,)), ((), ())),
+                            precision=prec, preferred_element_type=jnp.float32)
+        z3 = head.reshape(br, to, 2 * LANES)
+        zt = pltpu_roll(z3, -1, 1)[:, :, :LANES].reshape(br * to, LANES)
+        y = y + lax.dot_general(zt, wt, (((1,), (0,)), ((), ())),
+                                precision=prec, preferred_element_type=jnp.float32)
+        y3 = y.reshape(br, to, 2 * LANES)
+        out_ref[:, : h // 2] = y3[:, :, :LANES].reshape(br, h // 2)
+        out_ref[:, h // 2 : h] = y3[:, :, LANES:].reshape(br, h // 2)
+    if wd_ref is not None:
+        wd = wd_ref[:]
+        hd = dense_h
+        out_ref[:, :hd] = lax.dot_general(
+            out_ref[:, :hd], wd, (((1,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32)
+
+
+def _pyramid_rows_kernel_flat_nodense(x_ref, wp_ref, wt_ref, out_ref, **kw):
+    _pyramid_rows_kernel_flat(x_ref, wp_ref, wt_ref, None, out_ref, **kw)
+
+
+#: VMEM budget for one row block. Probed on the v5e relay: 1 MB blocks
+#: compile at every width (8192 @ br=32, 16384 @ br=16); 2 MB blocks blow
+#: the Mosaic compile helper (the kernel's in+out+temporaries multiply the
+#: block ~6-8x against ~16 MB of VMEM). At 1 MB the widest eligible row is
+#: n = 32768 (br floor is the f32 sublane tile, 8) — longer rows fall back
+#: to the XLA pyramid.
+_VMEM_BLOCK_BYTES = 1024 * 1024
+
+
+def _pick_br(r: int, n: int) -> int | None:
+    """Largest row-block size dividing r whose (br, n) f32 block fits the
+    VMEM budget; None when even 8 rows don't fit."""
+    br = min(256, r)
+    while br >= 8:
+        if r % br == 0 and br * n * 4 <= _VMEM_BLOCK_BYTES:
+            return br
+        br //= 2
+    return None
+
+
+def pyramid1d_eligible(x) -> bool:
+    """Routing gate for the batched-rows fused pyramid: TPU, f32, pow-2
+    last axis >= 1024 (smaller pyramids are already one dense matmul in
+    ops.mxu_pyramid), and a batch that tiles into VMEM blocks."""
+    if _config.mxu_butterfly() == "off":
+        return False
+    if x.ndim < 2 or x.dtype != jnp.float32:
+        return False
+    n = x.shape[-1]
+    r = 1
+    for d in x.shape[:-1]:
+        r *= d
+    if n < 1024 or (n & (n - 1)) != 0 or _pick_br(r, n) is None:
+        return False
+    import jax as _jax
+
+    return _jax.default_backend() in TPU_BACKENDS
+
+
+def _rows_pass_flat(x2, fb, level):
+    """Fused pyramid over the last axis of (R, N) f32, output (R, N)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r, n = x2.shape
+    done = _levels_done(n, fb.transform_wavelength, level)
+    if done == 0:
+        return x2
+    prec = _config.conv_precision()
+    wp, wt, split, wd, dense_h = _level_weights(fb, n, done, x2.dtype)
+    br = _pick_br(r, n)
+    kernel = partial(
+        _pyramid_rows_kernel_flat if wd is not None
+        else _pyramid_rows_kernel_flat_nodense,
+        split=split, dense_h=dense_h, prec=prec, br=br,
+    )
+    in_specs = [
+        pl.BlockSpec((br, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * LANES, 2 * LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((LANES, 2 * LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x2, wp, wt]
+    if wd is not None:
+        in_specs.append(
+            pl.BlockSpec((dense_h, dense_h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(wd)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((r, n), x2.dtype),
+        grid=(r // br,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((br, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )(*args)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fwt1d_fused(x, wavelet_name: str, level):
+    """Fused multi-level FWT along the last axis of a batched (…, N) f32
+    array — the whole pyramid in VMEM, one HBM read + one write. Same
+    output as transforms.fwt.fwt (which routes here on eligible shapes)."""
+    from ..filters import get_filter
+
+    fb = get_filter(wavelet_name)
+    lead = x.shape[:-1]
+    y = _rows_pass_flat(x.reshape((-1, x.shape[-1])), fb, level)
+    return y.reshape(lead + (x.shape[-1],))
+
+
+def _f1_fwd(x, wavelet_name, level):
+    return fwt1d_fused(x, wavelet_name, level), x.shape
+
+
+def _f1_bwd(wavelet_name, level, shape, g):
+    from ..ops.mxu_pyramid import fwt_forward_fused
+    from ..filters import get_filter
+
+    fb = get_filter(wavelet_name)
+    lin = jax.linear_transpose(
+        lambda v: fwt_forward_fused(v, fb, 10**9 if level is None else level),
+        jax.ShapeDtypeStruct(shape, g.dtype),
+    )
+    (dx,) = lin(g)
+    return (dx,)
+
+
+fwt1d_fused.defvjp(_f1_fwd, _f1_bwd)

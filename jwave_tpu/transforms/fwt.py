@@ -48,6 +48,14 @@ def fwt(x, wavelet, level: int | None = None):
     if level < 0 or level > steps:
         raise JWaveFailure(f"fwt - level {level} out of range [0, {steps}]")
     x = ensure_float(x)
+    if level > 0:
+        from ..ops.pallas_pyramid import fwt1d_fused, pyramid1d_eligible
+
+        if pyramid1d_eligible(x):
+            # round 4: the WHOLE pyramid in VMEM — one HBM read, one write
+            # (ops.pallas_pyramid); falls through to the XLA fused pyramid
+            # on ineligible shapes/backends
+            return fwt1d_fused(x, fb.name, level)
     if level > 0 and pyramid_eligible(x):
         # fused pyramid: split butterflies + one dense composed tail + ONE
         # output assembly (ops.mxu_pyramid) — no per-level head/tail copies

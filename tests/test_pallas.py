@@ -147,3 +147,41 @@ class TestFusedPyramid2D:
                                    np.asarray(ref), atol=1e-12)
         back = jw.ifwt2d(ref, "db4", 2, 2)
         np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-10)
+
+
+class TestFusedPyramid1D:
+    """ops.pallas_pyramid.fwt1d_fused — the batched-rows whole-pyramid
+    kernel transforms.fwt routes to on TPU (interpreter mode here)."""
+
+    @pytest.mark.parametrize("shape,lvl,wav", [
+        ((16, 4096), 6, "db4"), ((4, 2, 2048), 5, "sym8"), ((16, 1024), 10, "Haar"),
+    ])
+    def test_matches_xla_pyramid(self, shape, lvl, wav, rng):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from jwave_tpu.filters import get_filter
+        from jwave_tpu.ops.mxu_pyramid import fwt_forward_fused
+        from jwave_tpu.ops.pallas_pyramid import fwt1d_fused
+
+        x = jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
+        ref = fwt_forward_fused(x, get_filter(wav), lvl)
+        with pltpu.force_tpu_interpret_mode():
+            got = fwt1d_fused(x, wav, lvl)
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert float(jnp.max(jnp.abs(got - ref))) < 2e-6 * scale
+
+    def test_grad_matches(self, rng):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from jwave_tpu.filters import get_filter
+        from jwave_tpu.ops.mxu_pyramid import fwt_forward_fused
+        from jwave_tpu.ops.pallas_pyramid import fwt1d_fused
+
+        x = jnp.asarray(rng.standard_normal((8, 2048)), dtype=jnp.float32)
+        w = jnp.asarray(rng.standard_normal((8, 2048)), dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(lambda m: jnp.sum(fwt1d_fused(m, "db4", 4) * w))(x)
+        g_ref = jax.grad(lambda m: jnp.sum(
+            fwt_forward_fused(m, get_filter("db4"), 4) * w))(x)
+        scale = float(jnp.max(jnp.abs(g_ref)))
+        assert float(jnp.max(jnp.abs(g - g_ref))) < 2e-6 * scale
