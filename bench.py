@@ -397,7 +397,7 @@ def main():
             wlen, lvl, step, streams = 512, 8, 64, 8
             sl_sig = jnp.asarray(rng.standard_normal((streams, wlen)), dtype=jnp.float32)
             st0 = jax.device_put(sliding_modwt_init(sl_sig, "db4", lvl))
-            kk = 256  # 64 left per-update time inside the ~1 ms jitter / kk floor
+            kk = 1024  # shorter chains leave the ~2 us update under the ~1 ms jitter/kk floor
             chunks = jax.device_put(
                 jnp.asarray(rng.standard_normal((kk, streams, step)), dtype=jnp.float32))
 
@@ -414,7 +414,7 @@ def main():
             float(r1(st0, chunks)); float(rk(st0, chunks))
             t1 = min(_once2(r1, st0, chunks) for _ in range(3))
             tk = min(_once2(rk, st0, chunks) for _ in range(3))
-            dt_inc = max((tk - t1) / (kk - 1), 1e-9)
+            dt_inc = max((tk - t1) / (kk - 1), 2e-7)  # floor: ~jitter/kk
             # recompute baseline: a full 512-sample L8 MODWT per slide
             dt_rec = bench_op(lambda a: jw.modwt(a, "db4", lvl).sum(axis=-2), sl_sig, k=128)
             details["sliding_modwt_w512_L8_step64"] = {
