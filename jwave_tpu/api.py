@@ -150,6 +150,27 @@ class FastWaveletTransform(WaveletTransform):
     def _reverse_core(self, y, level=None):
         return ifwt(y, self.wavelet, level)
 
+    def forward_2d(self, mat, level_rows=None, level_cols=None):
+        """2D forward via transforms.fwt.fwt2d — the fused two-pass Pallas
+        pyramid on eligible TPU shapes (ops/pallas_pyramid.py), the
+        separable base path otherwise."""
+        from .transforms.fwt import fwt2d as _fwt2d
+
+        return self._jitted(("f2p", level_rows, level_cols), partial(
+            _fwt2d, wavelet=self.wavelet, level_rows=level_rows,
+            level_cols=level_cols,
+        ))(jnp.asarray(mat))
+
+    def reverse_2d(self, mat, level_rows=None, level_cols=None):
+        """2D inverse via transforms.fwt.ifwt2d (fused Pallas inverse
+        passes on eligible TPU shapes)."""
+        from .transforms.fwt import ifwt2d as _ifwt2d
+
+        return self._jitted(("r2p", level_rows, level_cols), partial(
+            _ifwt2d, wavelet=self.wavelet, level_rows=level_rows,
+            level_cols=level_cols,
+        ))(jnp.asarray(mat))
+
     def decompose(self, x):
         """(..., p+1, N) all-level decomposition (WaveletTransform.java:136-146)."""
         return self._jitted(("dec",), partial(fwt_decompose, wavelet=self.wavelet))(jnp.asarray(x))

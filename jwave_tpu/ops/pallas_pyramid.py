@@ -364,3 +364,166 @@ def _f1_bwd(wavelet_name, level, shape, g):
 
 
 fwt1d_fused.defvjp(_f1_fwd, _f1_bwd)
+
+
+# --------------------------------------------------------------------------
+# Inverse 2D — C(y) = P^-1(y^T) applied twice (C o C == (T o P)^-2)
+# --------------------------------------------------------------------------
+
+def _inv_level_weights(fb, n: int, done: int, dtype):
+    """Inverse constants: (V_pair (256,256), V_tail (256,128), dense
+    (hd, hd) folded-inverse matrix, hd, split_heads ascending)."""
+    from .mxu_pyramid import _tail_matrix_inv
+
+    bank = _bank_for(fb.rec_lo, fb.rec_hi)
+    e_count = bank.shape[0]
+    assert e_count <= 3
+    v_pair = (
+        np.concatenate([bank[0].T, bank[1].T], axis=1)
+        if e_count >= 2
+        else np.concatenate([bank[0].T, np.zeros_like(bank[0].T)], axis=1)
+    )
+    v_tail = bank[2].T if e_count == 3 else np.zeros((2 * LANES, LANES))
+    h0 = n >> (done - 1)
+    hd = h0
+    folded = 1
+    while hd < min(DENSE_HEAD, n) and folded < done:
+        hd <<= 1
+        folded += 1
+    dense = _tail_matrix_inv(
+        _fb_bytes(fb.rec_lo), _fb_bytes(fb.rec_hi), hd, folded, float(fb.recon_gain)
+    )
+    heads = []
+    h = hd << 1
+    while h <= n:
+        heads.append(h)
+        h <<= 1
+    return (
+        jnp.asarray(v_pair, dtype),
+        jnp.asarray(v_tail, dtype),
+        jnp.asarray(dense, dtype),
+        hd,
+        heads,
+    )
+
+
+def _ipyramid_rows_kernel(y_ref, vp_ref, vt_ref, vd_ref, out_ref, *, heads, hd,
+                          gain, prec):
+    """Inverse pyramid over one (BR, N) block, output written TRANSPOSED —
+    the mirror of the forward kernel. (A read-side-transposing variant
+    crashed the Mosaic compile helper; because the two axes' 1D operators
+    commute, transpose-on-write composes to the same 2D inverse.)"""
+    buf = y_ref[:]  # (BR, N)
+    vp = vp_ref[:]
+    vt = vt_ref[:]
+    head = lax.dot_general(buf[:, :hd], vd_ref[:], (((1,), (0,)), ((), ())),
+                           precision=prec, preferred_element_type=jnp.float32)
+    buf = jnp.concatenate([head, buf[:, hd:]], axis=-1)
+    for h in heads:
+        half = h // 2
+        to = h // (2 * LANES)
+        a3 = buf[:, :half].reshape(BR, to, LANES)
+        d3 = buf[:, half:h].reshape(BR, to, LANES)
+        z = jnp.concatenate([a3, d3], axis=-1).reshape(BR * to, 2 * LANES)
+        u = lax.dot_general(z, vp, (((1,), (0,)), ((), ())),
+                            precision=prec, preferred_element_type=jnp.float32)
+        acc = u.reshape(BR, to, 2 * LANES)
+        ut = lax.dot_general(z, vt, (((1,), (0,)), ((), ())),
+                             precision=prec, preferred_element_type=jnp.float32)
+        ut3 = ut.reshape(BR, to, LANES)
+        exp = jnp.concatenate([ut3, jnp.zeros_like(ut3)], axis=-1)
+        acc = acc + pltpu_roll(exp, 1, 1)
+        if gain != 1.0:
+            acc = acc * jnp.float32(gain)
+        buf = jnp.concatenate([acc.reshape(BR, h), buf[:, h:]], axis=-1) \
+            if h < buf.shape[-1] else acc.reshape(BR, h)
+    out_ref[:, :] = buf.T
+
+
+def _inv_axis_pass(y, fb, level):
+    """One write-transposing inverse pass over the last axis of (R, N)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r, n = y.shape
+    done = _levels_done(n, fb.transform_wavelength, level)
+    if done == 0:
+        return y.T
+    prec = _config.conv_precision()
+    vp, vt, vd, hd, heads = _inv_level_weights(fb, n, done, y.dtype)
+    kernel = partial(
+        _ipyramid_rows_kernel, heads=heads, hd=hd,
+        gain=float(fb.recon_gain), prec=prec,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, r), y.dtype),
+        grid=(r // BR,),
+        in_specs=[
+            pl.BlockSpec((BR, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * LANES, 2 * LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, BR), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )(y, vp, vt, vd)
+
+
+def _xla_reference_inv(y, fb, level_rows, level_cols):
+    """Plain-XLA inverse (for the linear-transpose VJP)."""
+    from ..transforms.ndim import reverse_2d
+    from .mxu_pyramid import fwt_inverse_fused
+
+    big = 10**9
+
+    return reverse_2d(
+        lambda v, lvl: fwt_inverse_fused(v, fb, big if lvl is None else lvl),
+        y, level_rows, level_cols,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def ifwt2d_fused(y, wavelet_name: str, level_rows, level_cols):
+    """Inverse of :func:`fwt2d_fused`: two input-transposing inverse
+    pyramid passes (C o C with C = P^-1 after transpose)."""
+    from ..filters import get_filter
+
+    fb = get_filter(wavelet_name)
+    x = _inv_axis_pass(y, fb, level_cols)   # last axis first (= cols), then
+    return _inv_axis_pass(x, fb, level_rows).astype(y.dtype)  # rows
+
+
+def _inv_fwd(y, wavelet_name, level_rows, level_cols):
+    return ifwt2d_fused(y, wavelet_name, level_rows, level_cols), y.shape
+
+
+def _inv_bwd(wavelet_name, level_rows, level_cols, shape, g):
+    from ..filters import get_filter
+
+    fb = get_filter(wavelet_name)
+    lin = jax.linear_transpose(
+        lambda v: _xla_reference_inv(v, fb, level_rows, level_cols),
+        jax.ShapeDtypeStruct(shape, g.dtype),
+    )
+    (dy,) = lin(g)
+    return (dy,)
+
+
+ifwt2d_fused.defvjp(_inv_fwd, _inv_bwd)
+
+
+def ipyramid2d_eligible(y, fb, level_rows, level_cols) -> bool:
+    """The inverse kernel always folds a dense head: eligible only when
+    both axes' reverse chains start at h0 <= DENSE_HEAD (true for any
+    full-depth or deep decomposition; shallow pyramids on long axes fall
+    back to the XLA path)."""
+    if not pyramid2d_eligible(y):
+        return False
+
+    def ok(n, level):
+        done = _levels_done(n, fb.transform_wavelength,
+                            10**9 if level is None else level)
+        return done > 0 and (n >> (done - 1)) <= DENSE_HEAD
+
+    r, n = y.shape
+    return ok(n, level_cols) and ok(r, level_rows)

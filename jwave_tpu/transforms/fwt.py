@@ -184,8 +184,15 @@ def fwt2d(mat, wavelet, level_rows: int | None = None, level_cols: int | None = 
 
 
 def ifwt2d(coeffs, wavelet, level_rows: int | None = None, level_cols: int | None = None):
-    """Inverse of :func:`fwt2d` (separable XLA synthesis path)."""
+    """Inverse of :func:`fwt2d`: two input-transposing inverse Pallas
+    pyramid passes on eligible TPU shapes, the separable XLA synthesis
+    path otherwise."""
+    from ..ops.pallas_pyramid import ifwt2d_fused, ipyramid2d_eligible
     from .ndim import reverse_2d
 
-    return reverse_2d(lambda v, lvl: ifwt(v, wavelet, lvl), jnp.asarray(coeffs),
+    y = ensure_float(jnp.asarray(coeffs))
+    fb = get_filter(wavelet)
+    if y.ndim == 2 and ipyramid2d_eligible(y, fb, level_rows, level_cols):
+        return ifwt2d_fused(y, fb.name, level_rows, level_cols)
+    return reverse_2d(lambda v, lvl: ifwt(v, wavelet, lvl), y,
                       level_rows, level_cols)

@@ -185,3 +185,28 @@ class TestFusedPyramid1D:
             fwt_forward_fused(m, get_filter("db4"), 4) * w))(x)
         scale = float(jnp.max(jnp.abs(g_ref)))
         assert float(jnp.max(jnp.abs(g - g_ref))) < 2e-6 * scale
+
+    def test_inverse_fused_roundtrip(self, rng):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from jwave_tpu.ops.pallas_pyramid import fwt2d_fused, ifwt2d_fused
+
+        x = jnp.asarray(rng.standard_normal((512, 1024)), dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            y = fwt2d_fused(x, "Daubechies 4", 4, 4)
+            back = ifwt2d_fused(y, "Daubechies 4", 4, 4)
+        assert float(jnp.max(jnp.abs(back - x))) < 1e-4
+
+    def test_inverse_matches_separable(self, rng):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from jwave_tpu.ops.pallas_pyramid import ifwt2d_fused
+        from jwave_tpu.transforms.fwt import ifwt
+        from jwave_tpu.transforms.ndim import reverse_2d
+
+        y = jnp.asarray(rng.standard_normal((512, 512)), dtype=jnp.float32)
+        ref = reverse_2d(lambda v, l: ifwt(v, "sym8", l), y, 3, 3)
+        with pltpu.force_tpu_interpret_mode():
+            got = ifwt2d_fused(y, "sym8", 3, 3)
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert float(jnp.max(jnp.abs(got - ref))) < 2e-6 * scale
