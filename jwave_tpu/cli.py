@@ -99,6 +99,7 @@ def _list() -> int:
     print("  vmd, ewt, matching_pursuit, dtcwt/dtcwt2d, denoise/denoise_dtcwt,")
     print("  modwt_mra, modwt_variance, hurst_exponent, best_basis(_2d),")
     print("  xwt/wavelet_coherence, analytic_signal/instantaneous_frequency,")
+    print("  fwt2d/ifwt2d (fused two-pass Pallas 2D pyramid on TPU),")
     print("  SlidingMODWT (incremental sliding-window analysis),")
     print("  wpt(layout='interleaved') (relayout-free coefficient pipelines)")
     return 0
