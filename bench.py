@@ -315,11 +315,19 @@ def main():
             lambda m: forward_2d(lambda v, level: _fff(v, _fb4, level), m, 6, 6),
             img, k=64, throughput=("Mpix_per_s", 2048 * 2048))
 
-    # 1D FWT multi-level (BASELINE config #2: 64K samples, 8 levels) —
-    # routes to the fused Pallas rows pass on TPU (ops/pallas_pyramid.py);
-    # heavy: length-1 Pallas scans crash the relay compile helper
+    # 1D FWT multi-level (BASELINE config #2: 64K samples, 8 levels).
+    # NOTE: at (64, 65536) the 1D Pallas kernel is VMEM-ineligible (rows
+    # too few for its 1 MB block budget), so this measures the XLA fused
+    # pyramid; the row below measures the Pallas rows kernel at an
+    # eligible shape with the same sample count.
     row("fwt1d_db4_L8", lambda a: fwt(a, "Daubechies 4", 8), x, k=128,
-        heavy=True, throughput=("Msamples_per_s", batch * n))
+        throughput=("Msamples_per_s", batch * n))
+    if dev.platform != "cpu":
+        x2561 = jax.device_put(jnp.asarray(
+            rng.standard_normal((256, 16384)), dtype=jnp.float32))
+        row("fwt1d_db4_L8_256x16K_pallas",
+            lambda a: fwt(a, "Daubechies 4", 8), x2561, k=256, heavy=True,
+            throughput=("Msamples_per_s", 256 * 16384))
 
     # 3D FWT on a 256^3 volume (config #4)
     vol = jax.device_put(jnp.asarray(rng.standard_normal((256, 256, 256)), dtype=jnp.float32))
@@ -387,8 +395,8 @@ def main():
 
     # incremental sliding-window MODWT vs recompute-per-window —
     # the reference's sliding pattern (MODWTSlidingWindowTest.java:14-17):
-    # 512-sample window, 8 levels, slide 64 (8 parallel streams).
-    # Chain length 64 (round 3 used 1024 — compile cost for no accuracy).
+    # 512-sample window, 8 levels, slide 64 (8 parallel streams); the
+    # 1024-long chain is what resolves a ~2 us update against ~1 ms jitter.
     if _left() > 40:
         try:
             from jax import lax as _lax

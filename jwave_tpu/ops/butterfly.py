@@ -137,37 +137,3 @@ def butterfly_reverse(y, rec_lo: np.ndarray, rec_hi: np.ndarray, recon_gain: flo
     if recon_gain != 1.0:
         res = res * jnp.asarray(recon_gain, dtype=dtype)
     return res
-
-
-def dual_butterfly_forward(xa, xb, filters_a, filters_b):
-    """Two analysis butterflies with DIFFERENT banks over same-shape inputs
-    — the DTCWT tree pair (transforms/dtcwt.py). On MXU-eligible shapes the
-    pair fuses into one matmul round per tile term (ops.mxu_butterfly.
-    dual_butterfly_forward_mxu — the levels are latency-bound, so halving
-    the op count wins despite issuing both banks' FLOPs to both trees);
-    otherwise two plain butterflies. Returns ((a_a, d_a), (a_b, d_b))."""
-    xa, xb = ensure_float(xa), ensure_float(xb)
-    from .mxu_butterfly import dual_butterfly_forward_mxu, mxu_butterfly_eligible
-
-    if mxu_butterfly_eligible(xa):
-        return dual_butterfly_forward_mxu(xa, xb, filters_a, filters_b)
-    half = xa.shape[-1] // 2
-    ya = butterfly_forward(xa, *filters_a)
-    yb = butterfly_forward(xb, *filters_b)
-    return ((ya[..., :half], ya[..., half:]), (yb[..., :half], yb[..., half:]))
-
-
-def dual_butterfly_reverse(parts_a, parts_b, filters_a, filters_b):
-    """Adjoint of :func:`dual_butterfly_forward`: two synthesis butterflies
-    (different banks), fused into one matmul round on MXU-eligible shapes.
-    ``parts_a``/``parts_b`` are (approx, detail) pairs; returns (xa, xb)."""
-    from .mxu_butterfly import dual_butterfly_reverse_mxu, mxu_butterfly_eligible
-
-    a_a, d_a = ensure_float(parts_a[0]), ensure_float(parts_a[1])
-    a_b, d_b = ensure_float(parts_b[0]), ensure_float(parts_b[1])
-    probe = jnp.concatenate([a_a, d_a], axis=-1)
-    if mxu_butterfly_eligible(probe):
-        return dual_butterfly_reverse_mxu((a_a, d_a), (a_b, d_b), filters_a, filters_b)
-    xa = butterfly_reverse(probe, *filters_a, 1.0)
-    xb = butterfly_reverse(jnp.concatenate([a_b, d_b], axis=-1), *filters_b, 1.0)
-    return xa, xb

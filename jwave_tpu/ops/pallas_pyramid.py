@@ -46,13 +46,22 @@ from .mxu_pyramid import DENSE_HEAD, _fb_bytes, _levels_done, _tail_matrix_fwd
 BR = 256  # rows per grid program
 
 
+#: widest validated row length for the (BR, n) = 2 MB VMEM blocks — the
+#: known-good compile envelope on this relay toolchain (2048 at BR = 256;
+#: wider blocks crash the Mosaic compile helper, see the 1D variant's
+#: probed budget). Both extents are bounded because each becomes the block
+#: width in one of the two passes.
+MAX_2D_EXTENT = 2048
+
+
 def pyramid2d_eligible(x) -> bool:
     if _config.mxu_butterfly() == "off":
         return False
     if x.ndim != 2 or x.dtype != jnp.float32:
         return False
     r, n = x.shape
-    ok_dim = lambda d: d >= 2 * BR and d % BR == 0 and (d & (d - 1)) == 0
+    ok_dim = lambda d: (2 * BR <= d <= MAX_2D_EXTENT and d % BR == 0
+                        and (d & (d - 1)) == 0)
     if not (ok_dim(r) and ok_dim(n)):
         return False
     import jax as _jax
@@ -135,7 +144,8 @@ def _axis_pass(x, fb, level):
     from jax.experimental.pallas import tpu as pltpu
 
     r, n = x.shape
-    done = _levels_done(n, fb.transform_wavelength, level)
+    done = _levels_done(n, fb.transform_wavelength,
+                        10**9 if level is None else level)
     prec = _config.conv_precision()
     wp, wt, split, wd, dense_h = _level_weights(fb, n, done, x.dtype)
     if done == 0:
@@ -446,7 +456,8 @@ def _inv_axis_pass(y, fb, level):
     from jax.experimental.pallas import tpu as pltpu
 
     r, n = y.shape
-    done = _levels_done(n, fb.transform_wavelength, level)
+    done = _levels_done(n, fb.transform_wavelength,
+                        10**9 if level is None else level)
     if done == 0:
         return y.T
     prec = _config.conv_precision()

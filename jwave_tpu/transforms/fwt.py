@@ -164,6 +164,16 @@ def fwt_merge(parts: dict):
     return jnp.concatenate([parts[k] for k in order], axis=-1)
 
 
+def _check_2d_levels(shape, level_rows, level_cols, who: str):
+    """Same level-range contract as fwt()/ifwt(), enforced BEFORE routing
+    so the fused kernel and the separable fallback reject identically."""
+    for n, lvl, axis in ((shape[-2], level_rows, "rows"), (shape[-1], level_cols, "cols")):
+        _check_pow2(n, who)
+        steps = exponent_of_two(n)
+        if lvl is not None and (lvl < 0 or lvl > steps):
+            raise JWaveFailure(f"{who} - {axis} level {lvl} out of range [0, {steps}]")
+
+
 def fwt2d(mat, wavelet, level_rows: int | None = None, level_cols: int | None = None):
     """2D FWT (standard decomposition: the full 1D pyramid along each
     axis — BasicTransform.java:361-399) of a (R, N) real matrix.
@@ -178,8 +188,10 @@ def fwt2d(mat, wavelet, level_rows: int | None = None, level_cols: int | None = 
 
     x = ensure_float(jnp.asarray(mat))
     fb = get_filter(wavelet)
-    if x.ndim == 2 and pyramid2d_eligible(x):
-        return fwt2d_fused(x, fb.name, level_rows, level_cols)
+    if x.ndim == 2:
+        _check_2d_levels(x.shape, level_rows, level_cols, "fwt2d")
+        if pyramid2d_eligible(x):
+            return fwt2d_fused(x, fb.name, level_rows, level_cols)
     return forward_2d(lambda v, lvl: fwt(v, wavelet, lvl), x, level_rows, level_cols)
 
 
@@ -192,7 +204,9 @@ def ifwt2d(coeffs, wavelet, level_rows: int | None = None, level_cols: int | Non
 
     y = ensure_float(jnp.asarray(coeffs))
     fb = get_filter(wavelet)
-    if y.ndim == 2 and ipyramid2d_eligible(y, fb, level_rows, level_cols):
-        return ifwt2d_fused(y, fb.name, level_rows, level_cols)
+    if y.ndim == 2:
+        _check_2d_levels(y.shape, level_rows, level_cols, "ifwt2d")
+        if ipyramid2d_eligible(y, fb, level_rows, level_cols):
+            return ifwt2d_fused(y, fb.name, level_rows, level_cols)
     return reverse_2d(lambda v, lvl: ifwt(v, wavelet, lvl), y,
                       level_rows, level_cols)

@@ -686,8 +686,6 @@ def scattering2d(
     bank = scattering_filter_bank_2d(py, px, J, L)
     cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
     psi = jnp.asarray(bank.psi_hat, dtype=cdtype)
-    k1_of_path = jnp.asarray(bank.paths[:, 0])
-    psi2_of_path = psi[jnp.asarray(bank.paths[:, 1])]
 
     # mirror-pad both axes (reflection suppresses wrap across the far edge)
     def mirror_extend(a, target, axis):
@@ -806,6 +804,8 @@ def scattering2d(
 
     # cross-validation hatch (config.set_mxu_dft('off')): the spectral
     # lowpass form — three batched FFT2 rounds end to end
+    k1_of_path = jnp.asarray(bank.paths[:, 0])
+    psi2_of_path = psi[jnp.asarray(bank.paths[:, 1])]
     phi = jnp.asarray(bank.phi_hat, dtype=cdtype)
 
     def lowpass(spec):
