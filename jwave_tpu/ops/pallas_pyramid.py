@@ -129,7 +129,10 @@ def _pyramid_rows_kernel(x_ref, wp_ref, wt_ref, wd_ref, out_ref, *, split, dense
         hd = dense_h
         head = lax.dot_general(buf[:, :hd], wd, (((1,), (0,)), ((), ())),
                                precision=prec, preferred_element_type=jnp.float32)
-        buf = jnp.concatenate([head, buf[:, hd:]], axis=-1)
+        # hd == n when the whole width folds densely: a zero-width slice
+        # in the concat is an "Invalid type" Mosaic error (probed)
+        buf = head if hd == buf.shape[-1] else jnp.concatenate(
+            [head, buf[:, hd:]], axis=-1)
     out_ref[:, :] = buf.T
 
 
@@ -428,25 +431,38 @@ def _ipyramid_rows_kernel(y_ref, vp_ref, vt_ref, vd_ref, out_ref, *, heads, hd,
     vt = vt_ref[:]
     head = lax.dot_general(buf[:, :hd], vd_ref[:], (((1,), (0,)), ((), ())),
                            precision=prec, preferred_element_type=jnp.float32)
-    buf = jnp.concatenate([head, buf[:, hd:]], axis=-1)
+    buf = head if hd == buf.shape[-1] else jnp.concatenate(
+        [head, buf[:, hd:]], axis=-1)
     for h in heads:
         half = h // 2
         to = h // (2 * LANES)
-        a3 = buf[:, :half].reshape(BR, to, LANES)
-        d3 = buf[:, half:h].reshape(BR, to, LANES)
-        z = jnp.concatenate([a3, d3], axis=-1).reshape(BR * to, 2 * LANES)
-        u = lax.dot_general(z, vp, (((1,), (0,)), ((), ())),
+        # split the interleaved z @ V into per-subband matmuls — no
+        # minor-axis interleave of VMEM values (3D lane concats crashed
+        # the Mosaic compile helper)
+        a2 = buf[:, :half].reshape(BR * to, LANES)
+        d2 = buf[:, half:h].reshape(BR * to, LANES)
+        u = (
+            lax.dot_general(a2, vp[:LANES], (((1,), (0,)), ((), ())),
                             precision=prec, preferred_element_type=jnp.float32)
-        acc = u.reshape(BR, to, 2 * LANES)
-        ut = lax.dot_general(z, vt, (((1,), (0,)), ((), ())),
-                             precision=prec, preferred_element_type=jnp.float32)
-        ut3 = ut.reshape(BR, to, LANES)
-        exp = jnp.concatenate([ut3, jnp.zeros_like(ut3)], axis=-1)
-        acc = acc + pltpu_roll(exp, 1, 1)
+            + lax.dot_general(d2, vp[LANES:], (((1,), (0,)), ((), ())),
+                              precision=prec, preferred_element_type=jnp.float32)
+        )
+        head2 = u.reshape(BR, h)
+        ut = (
+            lax.dot_general(a2, vt[:LANES], (((1,), (0,)), ((), ())),
+                            precision=prec, preferred_element_type=jnp.float32)
+            + lax.dot_general(d2, vt[LANES:], (((1,), (0,)), ((), ())),
+                              precision=prec, preferred_element_type=jnp.float32)
+        )
+        # tail lands in the FIRST half of the NEXT pair block: pad each
+        # q-row to a full 256 block, flatten, and circular-shift by one
+        # block (256 lanes) — a flat 2D roll, no 3D concat
+        exp3 = jnp.pad(ut.reshape(BR, to, LANES), ((0, 0), (0, 0), (0, LANES)))
+        head2 = head2 + pltpu_roll(exp3.reshape(BR, h), 2 * LANES, -1)
         if gain != 1.0:
-            acc = acc * jnp.float32(gain)
-        buf = jnp.concatenate([acc.reshape(BR, h), buf[:, h:]], axis=-1) \
-            if h < buf.shape[-1] else acc.reshape(BR, h)
+            head2 = head2 * jnp.float32(gain)
+        buf = jnp.concatenate([head2, buf[:, h:]], axis=-1) \
+            if h < buf.shape[-1] else head2
     out_ref[:, :] = buf.T
 
 
@@ -527,7 +543,22 @@ def ipyramid2d_eligible(y, fb, level_rows, level_cols) -> bool:
     """The inverse kernel always folds a dense head: eligible only when
     both axes' reverse chains start at h0 <= DENSE_HEAD (true for any
     full-depth or deep decomposition; shallow pyramids on long axes fall
-    back to the XLA path)."""
+    back to the XLA path).
+
+    EXPERIMENTAL — off by default. The inverse kernel is correct in
+    interpreter mode (tests) but its hardware compile crashes this
+    relay's tpu_compile_helper (subprocess exit 1, no diagnostic) in a
+    pattern that resisted a full bisect: single-level variants
+    structurally identical to the WORKING forward kernel fail
+    deterministically while adjacent variants pass (see
+    docs/TPU_BACKEND_NOTES.md). Until a toolchain with diagnostics is
+    available, ifwt2d uses the XLA synthesis path; set
+    JWAVE_ENABLE_PALLAS_IFWT2D=1 to opt in.
+    """
+    import os
+
+    if not os.environ.get("JWAVE_ENABLE_PALLAS_IFWT2D"):
+        return False
     if not pyramid2d_eligible(y):
         return False
 
