@@ -420,8 +420,10 @@ def main():
 
             r1, rk = chain_sliding(1), chain_sliding(kk)
             float(r1(st0, chunks)); float(rk(st0, chunks))
-            t1 = min(_once2(r1, st0, chunks) for _ in range(3))
-            tk = min(_once2(rk, st0, chunks) for _ in range(3))
+            # 6 reps: the relay's multi-ms dispatch swings otherwise
+            # swallow the ~2 ms on-device delta even at kk = 1024
+            t1 = min(_once2(r1, st0, chunks) for _ in range(6))
+            tk = min(_once2(rk, st0, chunks) for _ in range(6))
             dt_inc = max((tk - t1) / (kk - 1), 2e-7)  # floor: ~jitter/kk
             # recompute baseline: a full 512-sample L8 MODWT per slide
             dt_rec = bench_op(lambda a: jw.modwt(a, "db4", lvl).sum(axis=-2), sl_sig, k=128)
