@@ -426,7 +426,12 @@ def main():
             tk = min(_once2(rk, st0, chunks) for _ in range(6))
             dt_inc = max((tk - t1) / (kk - 1), 2e-7)  # floor: ~jitter/kk
             # recompute baseline: a full 512-sample L8 MODWT per slide
-            dt_rec = bench_op(lambda a: jw.modwt(a, "db4", lvl).sum(axis=-2), sl_sig, k=128)
+            # (k=512: the tiny transform also needs a long chain to clear
+            # the jitter floor)
+            dt_rec = max(
+                bench_op(lambda a: jw.modwt(a, "db4", lvl).sum(axis=-2),
+                         sl_sig, k=512, reps=6),
+                2e-6)
             details["sliding_modwt_w512_L8_step64"] = {
                 "us_per_update": round(dt_inc * 1e6, 2),
                 "us_recompute_per_window": round(dt_rec * 1e6, 2),
