@@ -6,14 +6,17 @@ the order-2 scattering network — the standard translation-invariant,
 deformation-stable signal representation built from the same wavelet
 machinery — designed TPU-first:
 
-- The whole network is THREE batched pow-2 FFT convolution rounds. The
-  first-order filter bank multiplies one signal spectrum against a
-  (K1, P) stacked filter matrix; the second order gathers the envelope
-  spectra along the static path table and runs ONE batched multiply for
-  all (j1, j2) paths. Nothing is per-filter Python-loop work.
-- The envelope spectra ``fft(U1)`` feed BOTH the first-order outputs
-  (lowpass ``* phi``) and the second-order filter bank, so each
-  intermediate is read once.
+- On the spectral hatch (``config.set_mxu_dft('off')``) the whole network
+  is THREE batched pow-2 FFT convolution rounds with the envelope spectra
+  ``fft(U1)`` shared between the first-order lowpass and the second-order
+  bank. On the default MXU route (rounds 3-4) almost all of that FFT work
+  is reassociated onto the matrix units: in 1D, order 2 and every lowpass
+  are strided circular tap convolutions (the Gaussian filters are ~35-1200
+  taps long in time — ops/mxu_bandconv.py) so only the order-1 band iFFTs
+  remain (issued as two real-input FFTs); in 2D every band conv restricts
+  to its bump's frequency support box as two skinny matmuls whose offset
+  phases die under the modulus (ops/mxu_dft2d.py). Exact up to a ~1e-6
+  Gaussian-tail truncation, pinned against the hatch in tests.
 - Filter bank, path table and output shapes are all static functions of
   ``(N, J, Q)`` — one XLA program per geometry, jit/vmap/grad compatible,
   and the batch axis shards with :func:`jwave_tpu.parallel.batch_sharded`
