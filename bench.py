@@ -216,13 +216,28 @@ def main():
     details = {"device": str(dev), "dtype": "float32", "budget_s": BUDGET_S}
 
     def emit(partial_flag: bool):
+        """Two lines per checkpoint: the full details dict first (for the
+        record), then a COMPACT headline-only line LAST. The driver parses
+        the last JSON line of a ~2000-char stdout tail capture; round 4's
+        single fat line (headline + full details) outgrew it and the
+        committed artifact lost the headline keys entirely (BENCH_r04:
+        rc=0 but parsed=null). The compact line stays ~350 bytes no matter
+        how many rows run, and repeats the modwt_db4_L5 row so the
+        flagship measurement itself is always inside the captured tail."""
+        elapsed = round(time.monotonic() - _T0, 1)
+        print(json.dumps({
+            "details": dict(details, partial=partial_flag, elapsed_s=elapsed),
+        }), flush=True)
         print(json.dumps({
             "metric": "MODWT-db4-L5 throughput per chip",
             "value": round(modwt_msps, 2),
             "unit": "Msamples/s",
             "vs_baseline": round(modwt_msps / BASELINE_MODWT_MSAMPLES, 1),
-            "details": dict(details, partial=partial_flag,
-                            elapsed_s=round(time.monotonic() - _T0, 1)),
+            "device": str(dev),
+            "dtype": "float32",
+            "partial": partial_flag,
+            "elapsed_s": elapsed,
+            "modwt_db4_L5": details.get("modwt_db4_L5"),
         }), flush=True)
 
     # --- headline: MODWT db4 L5, batched to fill the chip — ALWAYS first --
@@ -238,6 +253,14 @@ def main():
     emit(partial_flag=True)
 
     # --- budgeted rows, priority order ------------------------------------
+    # Timing floor: the chained-scan estimate (t(k)-t(1))/(k-1) resolves
+    # ~jitter/k against the relay's ~1 ms dispatch jitter, so a chain whose
+    # on-device time is under ~5x that jitter is noise (round 4 shipped a
+    # 0.0 ms / 131 Tsample/s EWT row this way). Guard: re-run with a 4x
+    # longer chain while below the floor; if it still doesn't resolve,
+    # flag the row instead of recording an absurd number.
+    FLOOR_S = 5e-3
+
     def row(name, fn, arr, k=8, throughput=None, est=25.0, heavy=False):
         """Run one bench row if the remaining budget covers its estimated
         cost (compile-dominated); otherwise record the skip. One retry on
@@ -248,8 +271,15 @@ def main():
         last = None
         for attempt in range(2):
             try:
-                dtr = bench_op(fn, arr, k=k, heavy=heavy)
+                kk = k
+                dtr = bench_op(fn, arr, k=kk, heavy=heavy)
+                while dtr * kk < FLOOR_S and kk < 4096 and _left() > est:
+                    kk *= 4  # below the timing floor: lengthen the chain
+                    dtr = bench_op(fn, arr, k=kk, heavy=heavy)
                 r = {"ms": round(dtr * 1e3, 4)}
+                if dtr * kk < FLOOR_S:
+                    r["below_floor"] = True
+                    r["k"] = kk
                 if throughput:
                     unit, count = throughput
                     r[unit] = round(count / dtr / 1e6, 1)
@@ -284,10 +314,13 @@ def main():
                                   ("fft", jw.ConvolutionMethod.FFT),
                                   ("mxu", jw.ConvolutionMethod.MXU)):
                 try:
+                    ks = 64 if method == jw.ConvolutionMethod.DIRECT else 512
                     d = bench_op(lambda a, m=method: jw.modwt(
-                        a, "db4", 4, method=m).sum(axis=-2), xs,
-                        k=(64 if method == jw.ConvolutionMethod.DIRECT else 512),
-                        reps=2)
+                        a, "db4", 4, method=m).sum(axis=-2), xs, k=ks, reps=2)
+                    while d * ks < 5e-3 and ks < 8192 and _left() > 110:
+                        ks *= 4  # below the timing floor (r04: mxu@1024 = 0.0)
+                        d = bench_op(lambda a, m=method: jw.modwt(
+                            a, "db4", 4, method=m).sum(axis=-2), xs, k=ks, reps=2)
                     r[label] = round(d * 1e6, 1)
                 except Exception as e:
                     r[label] = f"n/a ({type(e).__name__})"
@@ -430,19 +463,25 @@ def main():
             # swallow the ~2 ms on-device delta even at kk = 1024
             t1 = min(_once2(r1, st0, chunks) for _ in range(6))
             tk = min(_once2(rk, st0, chunks) for _ in range(6))
-            dt_inc = max((tk - t1) / (kk - 1), 2e-7)  # floor: ~jitter/kk
+            raw_inc = (tk - t1) / (kk - 1)
+            dt_inc = max(raw_inc, 2e-7)  # floor: ~jitter/kk
             # recompute baseline: a full 512-sample L8 MODWT per slide
             # (k=512: the tiny transform also needs a long chain to clear
             # the jitter floor)
-            dt_rec = max(
-                bench_op(lambda a: jw.modwt(a, "db4", lvl).sum(axis=-2),
-                         sl_sig, k=512, reps=6),
-                2e-6)
-            details["sliding_modwt_w512_L8_step64"] = {
+            raw_rec = bench_op(lambda a: jw.modwt(a, "db4", lvl).sum(axis=-2),
+                               sl_sig, k=512, reps=6)
+            dt_rec = max(raw_rec, 2e-6)
+            sl_row = {
                 "us_per_update": round(dt_inc * 1e6, 2),
                 "us_recompute_per_window": round(dt_rec * 1e6, 2),
                 "incremental_speedup": round(dt_rec / dt_inc, 1),
             }
+            if raw_inc < 2e-7 or raw_rec < 2e-6:
+                # a clamp engaged: the speedup is a floor artifact, not a
+                # measurement — say so in the artifact (round-5 advice)
+                sl_row["floored"] = True
+                sl_row["raw_us"] = [round(raw_inc * 1e6, 3), round(raw_rec * 1e6, 3)]
+            details["sliding_modwt_w512_L8_step64"] = sl_row
         except Exception as e:
             details["sliding_modwt_w512_L8_step64"] = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
     else:
@@ -450,14 +489,15 @@ def main():
 
     emit(partial_flag=True)  # checkpoint: perf-target rows are in
 
+    # k sized so each chain clears the ~5 ms timing floor on first try
     row("denoise_modwt_8x64K", lambda a: jw.denoise(a, "db4", 4), xs8_64k,
-        k=32, throughput=("Msamples_per_s", 8 * 65536))
-    row("denoise_dtcwt_512", lambda m: jw.denoise_dtcwt(m, 4), img512, k=16,
+        k=64, throughput=("Msamples_per_s", 8 * 65536))
+    row("denoise_dtcwt_512", lambda m: jw.denoise_dtcwt(m, 4), img512, k=64,
         throughput=("Mpix_per_s", 512 * 512))
     xw = jax.device_put(jnp.asarray(rng.standard_normal((8, 4096)), dtype=jnp.float32))
     row("wvd_512bins_8x4K",
         lambda a: jnp.sum(jw.wigner_ville(a, 1.0, n_bins=512)[0], axis=-2),
-        xw, k=8, throughput=("Mcoeff_per_s", 8 * 512 * 4096))
+        xw, k=16, throughput=("Mcoeff_per_s", 8 * 512 * 4096))
     xsl = jax.device_put(jnp.asarray(rng.standard_normal((8, 16384)), dtype=jnp.float32))
     sl_freqs = np.linspace(5.0, 200.0, 64)
     row("superlet_64f_o16_8x16K",
@@ -467,9 +507,11 @@ def main():
     try:
         ewt_bounds = jw.ewt_boundaries(jnp.asarray(ewt_sig), 5)
         xe = jax.device_put(jnp.asarray(np.tile(ewt_sig, (8, 1)), dtype=jnp.float32))
+        # k=512: a ~40 us row needs a >=20 ms chain to clear the timing
+        # floor (round 4's k=64 recorded 0.0 ms / 131 Tsamples/s)
         row("ewt_5modes_8x16K",
             lambda a: jnp.sum(jnp.abs(jw.ewt(a, boundaries=ewt_bounds).modes), axis=-2),
-            xe, k=64, throughput=("Msamples_per_s", 8 * 16384))
+            xe, k=512, throughput=("Msamples_per_s", 8 * 16384))
     except Exception as e:
         details["ewt_5modes_8x16K"] = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
     xv = jax.device_put(jnp.asarray(rng.standard_normal(2048), dtype=jnp.float32))
@@ -509,6 +551,19 @@ def main():
                 _cfg.set_conv_precision("highest")
         else:
             details["modwt_db4_L5_bf16dial"] = {"skipped": "budget"}
+        if _left() > 25:
+            # BASELINE config #4's dial envelope, driver-visible (round-5
+            # verdict item 4): the public fwt2d at the bf16 MXU dial
+            _cfg.set_conv_precision("default")
+            try:
+                row("fwt2d_db4_L6_2048_bf16dial",
+                    lambda m: jw.fwt2d(m, "Daubechies 4", 6, 6),
+                    img, k=64, heavy=True,
+                    throughput=("Mpix_per_s", 2048 * 2048))
+            finally:
+                _cfg.set_conv_precision("highest")
+        else:
+            details["fwt2d_db4_L6_2048_bf16dial"] = {"skipped": "budget"}
 
     emit(partial_flag=False)
 

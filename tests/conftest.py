@@ -24,13 +24,30 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-def pytest_addoption(parser):
+def pytest_addoption(parser, pluginmanager):
     parser.addoption(
         "--runslow", action="store_true", default=False,
         help="run tests marked slow (big filter banks, property sweeps, "
              "multi-process). Default `pytest -q` skips them so the fast "
              "suite stays under ~5 min single-process; CI passes --runslow.",
     )
+    if not pluginmanager.hasplugin("xdist"):
+        # addopts carries `-n auto`; without pytest-xdist a plain `pytest`
+        # run would hard-fail on the unrecognized flag before collecting a
+        # single test. conftest pytest_addoption runs before addopts
+        # parsing, so registering the flag as an accepted no-op degrades
+        # the run to serial instead.
+        group = parser.getgroup("xdist", "no-op stand-ins (pytest-xdist absent)")
+        # _addoption: same bypass pytest-xdist itself uses to claim the
+        # reserved lowercase -n short flag
+        group._addoption(
+            "-n", "--numprocesses", action="store", default=None,
+            help="ignored: pytest-xdist is not installed, running serially",
+        )
+        group._addoption(
+            "--dist", action="store", default=None,
+            help="ignored: pytest-xdist is not installed, running serially",
+        )
 
 
 def pytest_collection_modifyitems(config, items):
