@@ -9,14 +9,17 @@ machinery — designed TPU-first:
 - On the spectral hatch (``config.set_mxu_dft('off')``) the whole network
   is THREE batched pow-2 FFT convolution rounds with the envelope spectra
   ``fft(U1)`` shared between the first-order lowpass and the second-order
-  bank. On the default MXU route (rounds 3-4) almost all of that FFT work
-  is reassociated onto the matrix units: in 1D, order 2 and every lowpass
-  are strided circular tap convolutions (the Gaussian filters are ~35-1200
-  taps long in time — ops/mxu_bandconv.py) so only the order-1 band iFFTs
-  remain (issued as two real-input FFTs); in 2D every band conv restricts
-  to its bump's frequency support box as two skinny matmuls whose offset
-  phases die under the modulus (ops/mxu_dft2d.py). Exact up to a ~1e-6
-  Gaussian-tail truncation, pinned against the hatch in tests.
+  bank. On the default MXU route (rounds 3-5) that FFT work is
+  reassociated onto the matrix units: in 1D, order 1's near-full-rate
+  bands are strided circular tap convolutions of the signal itself (a
+  Gaussian frequency bump is Gaussian in time, ~100*r taps —
+  ops/mxu_bandconv.py), its heavily decimated bands fold psi1's support
+  window onto the short rate-r grid before a small inverse FFT, and
+  order 2 plus every lowpass are strided tap convolutions too; in 2D
+  every band conv restricts to its bump's frequency support box as two
+  skinny matmuls whose offset phases die under the modulus
+  (ops/mxu_dft2d.py). Exact up to a ~1e-7 Gaussian-tail truncation,
+  pinned against the hatch in tests.
 - Filter bank, path table and output shapes are all static functions of
   ``(N, J, Q)`` — one XLA program per geometry, jit/vmap/grad compatible,
   and the batch axis shards with :func:`jwave_tpu.parallel.batch_sharded`
@@ -48,6 +51,23 @@ from .cwt import PaddingType, pad_signal
 from .fft import fft as _fft, ifft as _ifft
 
 XI_MAX = 0.35  # top center frequency, cycles/sample (scattering convention)
+
+
+def ifft_mag_two_real(Z, cdtype):
+    """|ifft(Z)| computed as TWO real-input forward FFTs with the index
+    reversal undone: |ifft(Z)[t]| = |fft(Re Z) + i fft(Im Z)|[-t] / m.
+
+    On TPU f32 the c64 inverse engine measured 1.5x slower than two
+    forward real transforms at scattering's batched shapes; the reversal
+    is the flip+roll pair (bin -t == m - t for t >= 1, bin 0 fixed).
+    Backend-independent — the TPU gate lives in the caller — so the
+    reversal formula itself is testable on CPU (round-5 advice)."""
+    m = Z.shape[-1]
+    A = _fft(jnp.real(Z).astype(cdtype))
+    B = _fft(jnp.imag(Z).astype(cdtype))
+    mag = jnp.sqrt((jnp.real(A) - jnp.imag(B)) ** 2
+                   + (jnp.imag(A) + jnp.real(B)) ** 2) / m
+    return jnp.roll(jnp.flip(mag, -1), 1, -1)
 
 
 def _lowpass_matrix(phi_1d: np.ndarray, out_idx: np.ndarray) -> np.ndarray:
@@ -280,7 +300,6 @@ def scattering1d(
     padded = next_power_of_two(2 * n)
     bank = scattering_filter_bank(padded, J, Q, Q2)
     cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
-    psi1 = jnp.asarray(bank.psi1_hat, dtype=cdtype)
 
     # Intermediate decimation (the kymatio design; round-3 reformulation —
     # the full-rate version ran EVERY first-order envelope and second-order
@@ -326,7 +345,14 @@ def scattering1d(
     ) if len(bank.paths) else np.zeros(0, dtype=np.int64)
 
     xp = pad_signal(x, padded, padding)
-    X = _fft(xp.astype(cdtype))
+    _X_cache: list = []
+
+    def full_spec():
+        """fft(xp), computed at most once — the round-5 MXU route only
+        needs the full-length spectrum for the windowed large-r bands."""
+        if not _X_cache:
+            _X_cache.append(_fft(xp.astype(cdtype)))
+        return _X_cache[0]
 
     def lowpass(spec, r, phi_r):
         """phi-filter an r-grid spectrum, crop the padding, subsample to
@@ -381,9 +407,8 @@ def scattering1d(
     frames = -(-n // stride)
 
     def ifft_mag(Z):
-        """|ifft(Z)| — on TPU f32 via TWO real-input FFTs with the index
-        reversal undone (|ifft(Z)[t]| = |fft(Zr) + i fft(Zi)|[-t] / m; the
-        c64 inverse engine measured 1.5x slower than two forward real
+        """|ifft(Z)| — on TPU f32 via :func:`ifft_mag_two_real` (the c64
+        inverse engine measured 1.5x slower than two forward real
         transforms at these batched shapes)."""
         import jax as _jax
         from ..ops.mxu_common import TPU_BACKENDS
@@ -391,12 +416,7 @@ def scattering1d(
         if not (use_mxu and _jax.default_backend() in TPU_BACKENDS
                 and x.dtype == jnp.float32):
             return jnp.abs(_ifft(Z))
-        m = Z.shape[-1]
-        A = _fft(jnp.real(Z).astype(cdtype))
-        B = _fft(jnp.imag(Z).astype(cdtype))
-        mag = jnp.sqrt((jnp.real(A) - jnp.imag(B)) ** 2
-                       + (jnp.imag(A) + jnp.real(B)) ** 2) / m
-        return jnp.roll(jnp.flip(mag, -1), 1, -1)
+        return ifft_mag_two_real(Z, cdtype)
 
     def phi_lowpass(u_real, r):
         """S-output lowpass of a rate-r spatial magnitude: composed-matrix
@@ -419,7 +439,71 @@ def scattering1d(
         # order 0: phi conv on the padded signal itself — no spectrum needed
         s0 = phi_lowpass(xp, 1)
     else:
-        s0 = lowpass(X, 1, phi_on(1))
+        s0 = lowpass(full_spec(), 1, phi_on(1))
+        psi1 = jnp.asarray(bank.psi1_hat, dtype=cdtype)
+
+    # Order-1 envelopes on the MXU route (round-5 reformulation): the
+    # band iFFTs were the row's dominant cost — 131072-point c64 FFT
+    # traffic at the 8x64K audio shape held scattering1d to ~35% of its
+    # bandwidth bound (round-4 accounting). Two exact replacements,
+    # chosen per band by its decimation rate r:
+    #  * small r (the expensive near-full-rate top octaves): psi1 is
+    #    Gaussian in frequency hence Gaussian in TIME — ~100*r taps —
+    #    so u1 = |x (*) psi1| evaluated at stride r is a strided MXU
+    #    tile conv (ops.mxu_bandconv lane form; complex taps, two real
+    #    banks). Exact envelope subsamples (identical to spectral
+    #    periodization) up to the 1e-7 tap truncation, no FFT at all.
+    #  * large r (taps would bake multi-MB per-band matmul constants):
+    #    X * psi1 vanishes outside psi1's frequency support window, so
+    #    slice the window, fold it mod padded/r — arithmetic identical
+    #    to the full-length periodization — and inverse-FFT the SHORT
+    #    grid. The full-length multiply + r-segment reshape-sum of the
+    #    round-3/4 formulation disappear.
+    _TAPS_MAX_STRIDE = 8
+
+    def _windowed_band_spec(psi_np, r):
+        """(..., padded/r) fold of fft(xp) * psi via psi's support window."""
+        from ..ops.mxu_dft2d import circular_box
+
+        mr = padded // r
+        a = np.abs(psi_np)
+        c0, W = circular_box(a > 1e-7 * a.max())
+        Xf = full_spec()
+        if c0 + W <= padded:
+            win = Xf[..., c0:c0 + W]
+        else:
+            win = jnp.concatenate(
+                [Xf[..., c0:], Xf[..., :c0 + W - padded]], axis=-1)
+        win = win * jnp.asarray(np.roll(psi_np, -c0)[:W], cdtype)
+        shift = c0 % mr
+        total = -(-(shift + W) // mr) * mr
+        buf = jnp.pad(win, [(0, 0)] * (win.ndim - 1)
+                      + [(shift, total - shift - W)])
+        return buf.reshape(buf.shape[:-1] + (-1, mr)).sum(-2) / r
+
+    def _order1_group(idxs, r):
+        """Stacked (..., len(idxs), padded/r) order-1 envelopes."""
+        tap_rows, win_ks = {}, []
+        if r <= _TAPS_MAX_STRIDE:
+            for k in idxs.tolist():
+                out = _bandconv.strided_band_conv(xp, bank.psi1_hat[k], r)
+                if out is not None:
+                    tap_rows[k] = jnp.sqrt(out[0] ** 2 + out[1] ** 2)
+                else:  # shape outside the tile forms' plan
+                    win_ks.append(k)
+        else:
+            win_ks = idxs.tolist()
+        win_rows = {}
+        if win_ks:
+            specs = jnp.stack(
+                [_windowed_band_spec(bank.psi1_hat[k], r) for k in win_ks],
+                axis=-2)
+            u = ifft_mag(specs)
+            for i, k in enumerate(win_ks):
+                win_rows[k] = u[..., i, :]
+        return jnp.stack(
+            [tap_rows.get(k, win_rows.get(k)) for k in idxs.tolist()],
+            axis=-2)
 
     s1_parts, s1_order = [], []
     v1_store = {}  # k1 -> (group tensor, local row, r1)   [spectral path]
@@ -427,17 +511,17 @@ def scattering1d(
     _v1_group: dict[int, jnp.ndarray] = {}  # lazy fft(u1) per r-group
     for r in sorted(set(r1_of.tolist())):
         idxs = np.nonzero(r1_of == r)[0]
-        # order 1: batched multiply on the full grid, decimation by
-        # spectral periodization, inverse FFT at padded/r
-        prod = X[..., None, :] * psi1[idxs]
-        if r > 1:
-            prod = prod.reshape(prod.shape[:-1] + (r, padded // r)).sum(-2) / r
         if use_mxu:
-            u1 = ifft_mag(prod)  # (..., Kg, P/r)
+            u1 = _order1_group(idxs, r)  # (..., Kg, P/r)
             s1_parts.append(phi_lowpass(u1, r))
             for i, k1 in enumerate(idxs.tolist()):
                 u1_store[k1] = (u1, i, r)
         else:
+            # hatch: batched multiply on the full grid, decimation by
+            # spectral periodization, inverse FFT at padded/r
+            prod = full_spec()[..., None, :] * psi1[idxs]
+            if r > 1:
+                prod = prod.reshape(prod.shape[:-1] + (r, padded // r)).sum(-2) / r
             u1 = jnp.abs(_ifft(prod))
             V1 = _fft(u1.astype(cdtype))  # reused by BOTH S1 and order 2
             s1_parts.append(lowpass(V1, r, phi_on(r)))

@@ -128,9 +128,11 @@ class TestConsumers:
 
     @pytest.mark.slow
     def test_scattering1d_composed_lowpass_matches_spectral(self, rng):
-        """MXU route (composed lowpass + round-4 taps-form order 2,
-        ops.mxu_bandconv) vs the spectral hatch. S0/S1 stay at roundoff;
-        S2 agrees at the documented ~1e-7 psi2 tap-truncation level."""
+        """MXU route (tap-form order 1 + composed lowpass + taps-form
+        order 2, ops.mxu_bandconv) vs the spectral hatch. S0 stays at
+        roundoff; S1/S2 agree at the documented ~1e-7 tap/window
+        truncation level (round 5 moved order 1 onto strided band convs
+        and support-window folds, so S1 is no longer bit-identical)."""
         import jwave_tpu as jw
 
         x = jnp.asarray(rng.standard_normal((2, 1024)))
@@ -140,10 +142,43 @@ class TestConsumers:
             r_old = jw.scattering1d(x, J=5, Q=2)
         finally:
             config.set_mxu_dft("auto")
-        for name, tol in (("S0", 1e-12), ("S1", 1e-12), ("S2", 1e-6)):
+        for name, tol in (("S0", 1e-12), ("S1", 1e-6), ("S2", 1e-6)):
             a = np.asarray(getattr(r_new, name))
             b = np.asarray(getattr(r_old, name))
             assert np.max(np.abs(a - b)) < max(tol * np.max(np.abs(b)), 1e-12), name
+
+    def test_scattering1d_mxu_vs_hatch_small_fast(self, rng):
+        """Fast-suite guard (round-5 advice): the heavily reformulated MXU
+        scattering path must agree with the spectral hatch numerically,
+        not just produce finite shapes — small shape so it runs in the
+        default (non --runslow) suite."""
+        import jwave_tpu as jw
+
+        x = jnp.asarray(rng.standard_normal((2, 256)))
+        r_new = jw.scattering1d(x, J=3, Q=2)
+        config.set_mxu_dft("off")
+        try:
+            r_old = jw.scattering1d(x, J=3, Q=2)
+        finally:
+            config.set_mxu_dft("auto")
+        for name in ("S0", "S1", "S2"):
+            a = np.asarray(getattr(r_new, name))
+            b = np.asarray(getattr(r_old, name))
+            scale = max(np.max(np.abs(b)), 1e-30)
+            assert np.max(np.abs(a - b)) < 1e-6 * scale, name
+
+    def test_ifft_mag_two_real_reversal_formula(self, rng):
+        """The two-real-FFT |ifft| form's index reversal (roll of the
+        flip), exercised directly on CPU — the production call site is
+        gated on the TPU backend so no CI test reached it (round-5
+        advice)."""
+        from jwave_tpu.transforms.scattering import ifft_mag_two_real
+
+        Z = jnp.asarray(rng.standard_normal((3, 64))
+                        + 1j * rng.standard_normal((3, 64)))
+        got = np.asarray(ifft_mag_two_real(Z, jnp.complex128))
+        want = np.abs(np.fft.ifft(np.asarray(Z), axis=-1))
+        np.testing.assert_allclose(got, want, atol=1e-12)
 
     @pytest.mark.slow
     def test_scattering2d_composed_lowpass_matches_spectral(self, rng):
