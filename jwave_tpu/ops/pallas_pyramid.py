@@ -43,26 +43,51 @@ from .mxu_common import LANES, TPU_BACKENDS
 from .mxu_butterfly import _bank_for
 from .mxu_pyramid import DENSE_HEAD, _fb_bytes, _levels_done, _tail_matrix_fwd
 
-BR = 256  # rows per grid program
+BR = 256  # preferred rows per grid program (shrinks for wide blocks)
 
 
-#: widest validated row length for the (BR, n) = 2 MB VMEM blocks — the
-#: known-good compile envelope on this relay toolchain (2048 at BR = 256;
-#: wider blocks crash the Mosaic compile helper, see the 1D variant's
-#: probed budget). Both extents are bounded because each becomes the block
-#: width in one of the two passes.
+#: VMEM budget for one (br, n) f32 row block of the 2D kernels — the
+#: known-good compile envelope on this relay toolchain is 2 MB
+#: (256 rows x 2048 f32); wider rows shrink br instead of growing the
+#: block (round 5 — previously both extents were hard-capped at 2048).
+_VMEM_2D_BLOCK_BYTES = 2 * 1024 * 1024
+
+#: widest extent the adaptive-br kernel has been validated at on real
+#: hardware (see docs/TPU_BACKEND_NOTES.md). Both extents are bounded
+#: because each becomes the block width in one of the two passes.
 MAX_2D_EXTENT = 2048
 
 
-def pyramid2d_eligible(x) -> bool:
+def _pick_br2d(r: int, n: int) -> int | None:
+    """Largest row-block size (<= BR, >= 8) dividing ``r`` whose (br, n)
+    f32 block fits the 2D VMEM budget; None when even 8 rows don't."""
+    br = min(BR, r)
+    while br >= 8:
+        if r % br == 0 and br * n * 4 <= _VMEM_2D_BLOCK_BYTES:
+            return br
+        br //= 2
+    return None
+
+
+def _bank_ok(fb, inverse: bool = False) -> bool:
+    """The split-level kernels bake E <= 3 butterfly tile banks (every
+    shipped filter: M <= 76 taps). A longer custom bank must route to the
+    XLA path instead of tripping the in-kernel assert (round-5 advice)."""
+    lo, hi = (fb.rec_lo, fb.rec_hi) if inverse else (fb.dec_lo, fb.dec_hi)
+    return _bank_for(lo, hi).shape[0] <= 3
+
+
+def pyramid2d_eligible(x, fb=None) -> bool:
     if _config.mxu_butterfly() == "off":
         return False
     if x.ndim != 2 or x.dtype != jnp.float32:
         return False
     r, n = x.shape
-    ok_dim = lambda d: (2 * BR <= d <= MAX_2D_EXTENT and d % BR == 0
-                        and (d & (d - 1)) == 0)
-    if not (ok_dim(r) and ok_dim(n)):
+    ok_dim = lambda a, b: (512 <= a <= MAX_2D_EXTENT and (a & (a - 1)) == 0
+                           and _pick_br2d(a, b) is not None)
+    if not (ok_dim(r, n) and ok_dim(n, r)):
+        return False
+    if fb is not None and not _bank_ok(fb):
         return False
     import jax as _jax
 
@@ -99,27 +124,28 @@ def _level_weights(fb, n: int, done: int, dtype):
     )
 
 
-def _pyramid_rows_kernel(x_ref, wp_ref, wt_ref, wd_ref, out_ref, *, split, dense_h, prec):
-    """Full pyramid along the last axis of one (BR, N) block; output
-    written transposed (N, BR)."""
-    buf = x_ref[:]  # (BR, N) VMEM value
+def _pyramid_rows_kernel(x_ref, wp_ref, wt_ref, wd_ref, out_ref, *, split,
+                         dense_h, prec, br):
+    """Full pyramid along the last axis of one (br, N) block; output
+    written transposed (N, br)."""
+    buf = x_ref[:]  # (br, N) VMEM value
     n = buf.shape[-1]
     wp = wp_ref[:]  # (256, 256): [a|d] columns for the e=(0,1) pair term
     wt = wt_ref[:]  # (128, 256): tail e=2 term
     for h in split:
         to = h // (2 * LANES)
         head = buf[:, :h]
-        z = head.reshape(BR * to, 2 * LANES)
+        z = head.reshape(br * to, 2 * LANES)
         y = lax.dot_general(z, wp, (((1,), (0,)), ((), ())),
                             precision=prec, preferred_element_type=jnp.float32)
         # tail term: pair array rolled by one, first half of each pair
-        z3 = head.reshape(BR, to, 2 * LANES)
-        zt = pltpu_roll(z3, -1, 1)[:, :, :LANES].reshape(BR * to, LANES)
+        z3 = head.reshape(br, to, 2 * LANES)
+        zt = pltpu_roll(z3, -1, 1)[:, :, :LANES].reshape(br * to, LANES)
         y = y + lax.dot_general(zt, wt, (((1,), (0,)), ((), ())),
                                 precision=prec, preferred_element_type=jnp.float32)
-        y3 = y.reshape(BR, to, 2 * LANES)
-        a = y3[:, :, :LANES].reshape(BR, h // 2)
-        d = y3[:, :, LANES:].reshape(BR, h // 2)
+        y3 = y.reshape(br, to, 2 * LANES)
+        a = y3[:, :, :LANES].reshape(br, h // 2)
+        d = y3[:, :, LANES:].reshape(br, h // 2)
         tail_cols = buf[:, h:]
         buf = jnp.concatenate([a, d, tail_cols], axis=-1) if h < n else jnp.concatenate(
             [a, d], axis=-1
@@ -153,15 +179,17 @@ def _axis_pass(x, fb, level):
     wp, wt, split, wd, dense_h = _level_weights(fb, n, done, x.dtype)
     if done == 0:
         return x.T
+    br = _pick_br2d(r, n)
     kernel = partial(
         _pyramid_rows_kernel if wd is not None else _pyramid_rows_kernel_nodense,
         split=split,
         dense_h=dense_h,
         prec=prec,
+        br=br,
     )
-    grid = (r // BR,)
+    grid = (r // br,)
     in_specs = [
-        pl.BlockSpec((BR, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((br, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((2 * LANES, 2 * LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((LANES, 2 * LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
@@ -176,13 +204,14 @@ def _axis_pass(x, fb, level):
         out_shape=jax.ShapeDtypeStruct((n, r), x.dtype),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((n, BR), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((n, br), lambda i: (0, i), memory_space=pltpu.VMEM),
     )(*args)
 
 
-def _pyramid_rows_kernel_nodense(x_ref, wp_ref, wt_ref, out_ref, *, split, dense_h, prec):
+def _pyramid_rows_kernel_nodense(x_ref, wp_ref, wt_ref, out_ref, *, split,
+                                 dense_h, prec, br):
     _pyramid_rows_kernel(x_ref, wp_ref, wt_ref, None, out_ref,
-                         split=split, dense_h=dense_h, prec=prec)
+                         split=split, dense_h=dense_h, prec=prec, br=br)
 
 
 def _xla_reference(x, fb, level_rows, level_cols):
@@ -290,7 +319,7 @@ def _pick_br(r: int, n: int) -> int | None:
     return None
 
 
-def pyramid1d_eligible(x) -> bool:
+def pyramid1d_eligible(x, fb=None) -> bool:
     """Routing gate for the batched-rows fused pyramid: TPU, f32, pow-2
     last axis >= 1024 (smaller pyramids are already one dense matmul in
     ops.mxu_pyramid), and a batch that tiles into VMEM blocks."""
@@ -304,9 +333,42 @@ def pyramid1d_eligible(x) -> bool:
         r *= d
     if n < 1024 or (n & (n - 1)) != 0 or _pick_br(r, n) is None:
         return False
+    if fb is not None and not _bank_ok(fb):
+        return False
     import jax as _jax
 
     return _jax.default_backend() in TPU_BACKENDS
+
+
+def peel_levels_for_vmem(x, fb=None) -> int | None:
+    """Rows too wide for the VMEM block budget: number of leading pyramid
+    levels (1 or 2) to run on the XLA butterfly so the shrinking head
+    becomes :func:`pyramid1d_eligible` — the remaining levels then run
+    fused in VMEM (round 5; previously a 64x65536 headline row silently
+    fell back to the all-XLA pyramid). None when no small peel helps."""
+    if _config.mxu_butterfly() == "off":
+        return None
+    if x.ndim < 2 or x.dtype != jnp.float32:
+        return None
+    n = x.shape[-1]
+    if (n & (n - 1)) != 0:
+        return None
+    if fb is not None and not _bank_ok(fb):
+        return None
+    r = 1
+    for d in x.shape[:-1]:
+        r *= d
+    if _pick_br(r, n) is not None:
+        return None  # already eligible — no peel needed
+    import jax as _jax
+
+    if _jax.default_backend() not in TPU_BACKENDS:
+        return None
+    for p in (1, 2):
+        h = n >> p
+        if h >= 1024 and _pick_br(r, h) is not None:
+            return p
+    return None
 
 
 def _rows_pass_flat(x2, fb, level):
@@ -420,17 +482,39 @@ def _inv_level_weights(fb, n: int, done: int, dtype):
     )
 
 
+def _dot_chunked_k(x, w, prec):
+    """dot_general with the contraction split into 128-wide chunks.
+
+    The round-4 micro-bisect of the inverse kernel's opaque
+    tpu_compile_helper crash found that structurally identical variants
+    with 128-wide contractions compile while >=256-wide ones fail in
+    certain surroundings (docs/TPU_BACKEND_NOTES.md); the chunked sum is
+    the same operator (f32 accumulation reassociated per 128 taps)."""
+    k = x.shape[-1]
+    if k <= LANES:
+        return lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                               precision=prec, preferred_element_type=jnp.float32)
+    acc = None
+    for s in range(0, k, LANES):
+        t = lax.dot_general(x[:, s:s + LANES], w[s:s + LANES],
+                            (((1,), (0,)), ((), ())),
+                            precision=prec, preferred_element_type=jnp.float32)
+        acc = t if acc is None else acc + t
+    return acc
+
+
 def _ipyramid_rows_kernel(y_ref, vp_ref, vt_ref, vd_ref, out_ref, *, heads, hd,
-                          gain, prec):
-    """Inverse pyramid over one (BR, N) block, output written TRANSPOSED —
+                          gain, prec, br):
+    """Inverse pyramid over one (br, N) block, output written TRANSPOSED —
     the mirror of the forward kernel. (A read-side-transposing variant
     crashed the Mosaic compile helper; because the two axes' 1D operators
-    commute, transpose-on-write composes to the same 2D inverse.)"""
-    buf = y_ref[:]  # (BR, N)
+    commute, transpose-on-write composes to the same 2D inverse.) All
+    contractions are issued 128 wide (_dot_chunked_k) — the round-5
+    formulation change aimed at the round-4 compile-helper crash."""
+    buf = y_ref[:]  # (br, N)
     vp = vp_ref[:]
     vt = vt_ref[:]
-    head = lax.dot_general(buf[:, :hd], vd_ref[:], (((1,), (0,)), ((), ())),
-                           precision=prec, preferred_element_type=jnp.float32)
+    head = _dot_chunked_k(buf[:, :hd], vd_ref[:], prec)
     buf = head if hd == buf.shape[-1] else jnp.concatenate(
         [head, buf[:, hd:]], axis=-1)
     for h in heads:
@@ -439,15 +523,15 @@ def _ipyramid_rows_kernel(y_ref, vp_ref, vt_ref, vd_ref, out_ref, *, heads, hd,
         # split the interleaved z @ V into per-subband matmuls — no
         # minor-axis interleave of VMEM values (3D lane concats crashed
         # the Mosaic compile helper)
-        a2 = buf[:, :half].reshape(BR * to, LANES)
-        d2 = buf[:, half:h].reshape(BR * to, LANES)
+        a2 = buf[:, :half].reshape(br * to, LANES)
+        d2 = buf[:, half:h].reshape(br * to, LANES)
         u = (
             lax.dot_general(a2, vp[:LANES], (((1,), (0,)), ((), ())),
                             precision=prec, preferred_element_type=jnp.float32)
             + lax.dot_general(d2, vp[LANES:], (((1,), (0,)), ((), ())),
                               precision=prec, preferred_element_type=jnp.float32)
         )
-        head2 = u.reshape(BR, h)
+        head2 = u.reshape(br, h)
         ut = (
             lax.dot_general(a2, vt[:LANES], (((1,), (0,)), ((), ())),
                             precision=prec, preferred_element_type=jnp.float32)
@@ -457,8 +541,8 @@ def _ipyramid_rows_kernel(y_ref, vp_ref, vt_ref, vd_ref, out_ref, *, heads, hd,
         # tail lands in the FIRST half of the NEXT pair block: pad each
         # q-row to a full 256 block, flatten, and circular-shift by one
         # block (256 lanes) — a flat 2D roll, no 3D concat
-        exp3 = jnp.pad(ut.reshape(BR, to, LANES), ((0, 0), (0, 0), (0, LANES)))
-        head2 = head2 + pltpu_roll(exp3.reshape(BR, h), 2 * LANES, -1)
+        exp3 = jnp.pad(ut.reshape(br, to, LANES), ((0, 0), (0, 0), (0, LANES)))
+        head2 = head2 + pltpu_roll(exp3.reshape(br, h), 2 * LANES, -1)
         if gain != 1.0:
             head2 = head2 * jnp.float32(gain)
         buf = jnp.concatenate([head2, buf[:, h:]], axis=-1) \
@@ -478,21 +562,22 @@ def _inv_axis_pass(y, fb, level):
         return y.T
     prec = _config.conv_precision()
     vp, vt, vd, hd, heads = _inv_level_weights(fb, n, done, y.dtype)
+    br = _pick_br2d(r, n)
     kernel = partial(
         _ipyramid_rows_kernel, heads=heads, hd=hd,
-        gain=float(fb.recon_gain), prec=prec,
+        gain=float(fb.recon_gain), prec=prec, br=br,
     )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, r), y.dtype),
-        grid=(r // BR,),
+        grid=(r // br,),
         in_specs=[
-            pl.BlockSpec((BR, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * LANES, 2 * LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hd, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n, BR), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((n, br), lambda i: (0, i), memory_space=pltpu.VMEM),
     )(y, vp, vt, vd)
 
 
@@ -559,7 +644,7 @@ def ipyramid2d_eligible(y, fb, level_rows, level_cols) -> bool:
 
     if not os.environ.get("JWAVE_ENABLE_PALLAS_IFWT2D"):
         return False
-    if not pyramid2d_eligible(y):
+    if not pyramid2d_eligible(y) or not _bank_ok(fb, inverse=True):
         return False
 
     def ok(n, level):

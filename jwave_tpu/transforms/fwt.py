@@ -49,13 +49,21 @@ def fwt(x, wavelet, level: int | None = None):
         raise JWaveFailure(f"fwt - level {level} out of range [0, {steps}]")
     x = ensure_float(x)
     if level > 0:
-        from ..ops.pallas_pyramid import fwt1d_fused, pyramid1d_eligible
+        from ..ops.pallas_pyramid import (
+            fwt1d_fused, peel_levels_for_vmem, pyramid1d_eligible)
 
-        if pyramid1d_eligible(x):
+        if pyramid1d_eligible(x, fb):
             # round 4: the WHOLE pyramid in VMEM — one HBM read, one write
             # (ops.pallas_pyramid); falls through to the XLA fused pyramid
             # on ineligible shapes/backends
             return fwt1d_fused(x, fb.name, level)
+        peel = peel_levels_for_vmem(x, fb)
+        if peel is not None and level > peel:
+            # round 5 hybrid: rows too wide for the VMEM block budget run
+            # their first level(s) on the XLA butterfly; the shrunken head
+            # then fits the fused kernel (one read+write for every
+            # remaining level instead of per-level passes)
+            return _fwt_peeled(x, fb, level, peel)
     if level > 0 and pyramid_eligible(x):
         # fused pyramid: split butterflies + one dense composed tail + ONE
         # output assembly (ops.mxu_pyramid) — no per-level head/tail copies
@@ -68,6 +76,24 @@ def fwt(x, wavelet, level: int | None = None):
         h >>= 1
         l += 1
     return x
+
+
+def _fwt_peeled(x, fb, level: int, peel: int):
+    """Hybrid pyramid: ``peel`` leading levels on the XLA butterfly, the
+    remaining ``level - peel`` fused in VMEM (ops.pallas_pyramid). Output
+    layout identical to :func:`fwt` — the peeled details are already in
+    their final positions."""
+    from ..ops.pallas_pyramid import fwt1d_fused
+
+    n = x.shape[-1]
+    y = x
+    h = n
+    for _ in range(peel):
+        head = butterfly_forward(y[..., :h], fb.dec_lo, fb.dec_hi)
+        y = jnp.concatenate([head, y[..., h:]], axis=-1) if h < n else head
+        h >>= 1
+    z = fwt1d_fused(y[..., :h], fb.name, level - peel)
+    return jnp.concatenate([z, y[..., h:]], axis=-1)
 
 
 def ifwt(y, wavelet, level: int | None = None):
@@ -190,7 +216,7 @@ def fwt2d(mat, wavelet, level_rows: int | None = None, level_cols: int | None = 
     fb = get_filter(wavelet)
     if x.ndim == 2:
         _check_2d_levels(x.shape, level_rows, level_cols, "fwt2d")
-        if pyramid2d_eligible(x):
+        if pyramid2d_eligible(x, fb):
             return fwt2d_fused(x, fb.name, level_rows, level_cols)
     return forward_2d(lambda v, lvl: fwt(v, wavelet, lvl), x, level_rows, level_cols)
 

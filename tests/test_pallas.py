@@ -197,6 +197,63 @@ class TestFusedPyramid1D:
             back = ifwt2d_fused(y, "Daubechies 4", 4, 4)
         assert float(jnp.max(jnp.abs(back - x))) < 1e-4
 
+    def test_adaptive_br_wide_rows_match(self, rng):
+        """Round 5: rows wider than the old 2048 hard cap shrink the row
+        block (br 256 -> 128) instead of falling back — the kernel must
+        stay exact at a non-default br."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from jwave_tpu.ops.pallas_pyramid import _pick_br2d, fwt2d_fused
+        from jwave_tpu.transforms.fwt import fwt
+        from jwave_tpu.transforms.ndim import forward_2d
+
+        assert _pick_br2d(512, 4096) == 128
+        x = jnp.asarray(rng.standard_normal((512, 4096)), dtype=jnp.float32)
+        ref = forward_2d(lambda v, l: fwt(v, "db4", l), x, 3, 3)
+        with pltpu.force_tpu_interpret_mode():
+            got = fwt2d_fused(x, "db4", 3, 3)
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert float(jnp.max(jnp.abs(got - ref))) < 2e-6 * scale
+
+    def test_peeled_hybrid_matches_fwt(self, rng):
+        """Round 5: the long-row hybrid (XLA butterfly level 1 + fused
+        VMEM pyramid for the rest) is the same operator as the plain
+        pyramid."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from jwave_tpu.filters import get_filter
+        from jwave_tpu.ops.mxu_pyramid import fwt_forward_fused
+        from jwave_tpu.transforms.fwt import _fwt_peeled
+
+        fb = get_filter("db4")
+        x = jnp.asarray(rng.standard_normal((8, 4096)), dtype=jnp.float32)
+        ref = fwt_forward_fused(x, fb, 6)
+        for peel in (1, 2):
+            with pltpu.force_tpu_interpret_mode():
+                got = _fwt_peeled(x, fb, 6, peel)
+            scale = float(jnp.max(jnp.abs(ref)))
+            assert float(jnp.max(jnp.abs(got - ref))) < 2e-6 * scale, peel
+
+    def test_long_filter_bank_routes_to_xla(self, rng):
+        """Round-5 advice: a hypothetical >3-tile filter bank must fail
+        eligibility instead of tripping the kernel-weight assert."""
+        import numpy as _np
+
+        from jwave_tpu.filters import get_filter
+        from jwave_tpu.ops.pallas_pyramid import _bank_ok, peel_levels_for_vmem, pyramid1d_eligible
+
+        class FakeBank:
+            dec_lo = _np.ones(200) / 200.0
+            dec_hi = _np.ones(200) / 200.0
+            rec_lo = dec_lo
+            rec_hi = dec_hi
+
+        assert _bank_ok(get_filter("db4"))
+        assert not _bank_ok(FakeBank())
+        x = jnp.zeros((16, 4096), dtype=jnp.float32)
+        assert not pyramid1d_eligible(x, FakeBank())
+        assert peel_levels_for_vmem(x, FakeBank()) is None
+
     def test_inverse_matches_separable(self, rng):
         from jax.experimental.pallas import tpu as pltpu
 
