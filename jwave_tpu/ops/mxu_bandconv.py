@@ -122,26 +122,50 @@ def _lane_banks(taps_key, T: int, S: int, m: int):
     return banks
 
 
+def _lane_conv(v, banks_list, S: int, precision):
+    """Lane-form strided conv of pre-rolled real ``v`` (..., m) against one
+    or more tap banks AT ONCE; returns a list of (..., m/S) results.
+
+    Round-5 traffic fix (HLO cost audit of scattering1d): the per-``g``
+    ``jnp.roll`` materialized a full copy of the input for every tile
+    group AND every bank part (2 x G full read+write passes per complex
+    filter). Now the tile-group axis is extended ONCE by G-1 wrap groups
+    and each ``g`` term is a static contiguous slice (fusable into the
+    dot's operand read), and all banks (e.g. a complex filter's re/im
+    parts) are column-concatenated into ONE weight so the input is read
+    once per ``g`` for all of them."""
+    m = v.shape[-1]
+    lead = v.shape[:-1]
+    G = banks_list[0].shape[0]
+    F = m // S
+    tiles = m // LANES
+    nb = len(banks_list)
+    v4 = v.reshape((-1, tiles // S, S * LANES))  # tile groups of S
+    ext = jnp.concatenate([v4, v4[:, : G - 1]], axis=1) if G > 1 else v4
+    acc = None
+    for g in range(G):
+        src = ext[:, g : g + tiles // S] if g else v4
+        w = jnp.asarray(
+            np.concatenate([b[g] for b in banks_list], axis=1), v.dtype
+        )
+        t = _dot(src.reshape(-1, S * LANES), w, precision)
+        acc = t if acc is None else acc + t
+    outs = []
+    for i in range(nb):
+        part = acc[:, i * LANES : (i + 1) * LANES].astype(v.dtype)
+        outs.append(part.reshape(lead + (F,)))
+    return outs
+
+
 def _lane_conv_real(v, taps: np.ndarray, S: int, precision):
     """Lane-form strided conv of pre-rolled real ``v`` (..., m) with REAL
     taps; returns (..., m/S)."""
     m = v.shape[-1]
-    lead = v.shape[:-1]
     T = len(taps)
     banks = _lane_banks(
         np.ascontiguousarray(taps, dtype=np.float64).tobytes(), T, S, m
     )
-    G = banks.shape[0]
-    F = m // S
-    tiles = m // LANES
-    v4 = v.reshape((-1, tiles // S, S * LANES))  # tile groups of S
-    acc = None
-    for g in range(G):
-        src = jnp.roll(v4, -g, axis=-2) if g else v4
-        w = jnp.asarray(banks[g], v.dtype)
-        t = _dot(src.reshape(-1, S * LANES), w, precision)
-        acc = t if acc is None else acc + t
-    return acc.astype(v.dtype).reshape(lead + (F,))
+    return _lane_conv(v, [banks], S, precision)[0]
 
 
 def _block_conv_real(v, taps: np.ndarray, S: int, precision):
@@ -186,9 +210,19 @@ def strided_band_conv(u, filter_hat: np.ndarray, S: int, eps: float = 1e-7):
     # v = u delayed by t0 + T - 1
     v = jnp.roll(u, t0 + T - 1, axis=-1)
     w = taps[::-1]
-    conv = _lane_conv_real if form == "lane" else _block_conv_real
-    yr = conv(v, np.ascontiguousarray(w.real), S, prec)
-    if np.abs(w.imag).max() < 1e-12 * np.abs(w.real).max():
+    real_only = np.abs(w.imag).max() < 1e-12 * np.abs(w.real).max()
+    if form == "lane":
+        m_ = v.shape[-1]
+        key = lambda t: np.ascontiguousarray(t, dtype=np.float64).tobytes()
+        banks = [_lane_banks(key(w.real), T, S, m_)]
+        if not real_only:
+            banks.append(_lane_banks(key(w.imag), T, S, m_))
+        outs = _lane_conv(v, banks, S, prec)
+        if real_only:
+            return outs[0], jnp.zeros_like(outs[0])
+        return outs[0], outs[1]
+    yr = _block_conv_real(v, np.ascontiguousarray(w.real), S, prec)
+    if real_only:
         return yr, jnp.zeros_like(yr)  # real filter (e.g. the phi lowpass)
-    yi = conv(v, np.ascontiguousarray(w.imag), S, prec)
+    yi = _block_conv_real(v, np.ascontiguousarray(w.imag), S, prec)
     return yr, yi

@@ -53,17 +53,26 @@ BR = 256  # preferred rows per grid program (shrinks for wide blocks)
 _VMEM_2D_BLOCK_BYTES = 2 * 1024 * 1024
 
 #: widest extent the adaptive-br kernel has been validated at on real
-#: hardware (see docs/TPU_BACKEND_NOTES.md). Both extents are bounded
+#: hardware (round-5 probe: 4096^2 at br=64 / 1 MB non-transposing blocks
+#: compiles, matches the XLA path to 1e-6, and runs 1.8x faster — 1.85 vs
+#: 3.29 ms; a (128, 4096) 2 MB transposed block crashes the compile
+#: helper, see docs/TPU_BACKEND_NOTES.md). Both extents are bounded
 #: because each becomes the block width in one of the two passes.
-MAX_2D_EXTENT = 2048
+MAX_2D_EXTENT = 4096
 
 
 def _pick_br2d(r: int, n: int) -> int | None:
     """Largest row-block size (<= BR, >= 8) dividing ``r`` whose (br, n)
-    f32 block fits the 2D VMEM budget; None when even 8 rows don't."""
+    f32 block fits the 2D VMEM budget; None when even 8 rows don't.
+
+    The budget is width-sensitive: 2 MB blocks are proven at widths
+    <= 2048 but the compile helper crashes on a 2 MB (128, 4096) block
+    (round-5 probe), while 1 MB blocks compile at every probed width —
+    so wide rows drop to the 1 MB envelope."""
+    budget = _VMEM_2D_BLOCK_BYTES if n <= 2048 else _VMEM_2D_BLOCK_BYTES // 2
     br = min(BR, r)
     while br >= 8:
-        if r % br == 0 and br * n * 4 <= _VMEM_2D_BLOCK_BYTES:
+        if r % br == 0 and br * n * 4 <= budget:
             return br
         br //= 2
     return None
@@ -159,7 +168,13 @@ def _pyramid_rows_kernel(x_ref, wp_ref, wt_ref, wd_ref, out_ref, *, split,
         # in the concat is an "Invalid type" Mosaic error (probed)
         buf = head if hd == buf.shape[-1] else jnp.concatenate(
             [head, buf[:, hd:]], axis=-1)
-    out_ref[:, :] = buf.T
+    # transposed store only when the (n, br) output block is lowerable
+    # (br >= 128 lanes); narrow blocks write straight and the caller
+    # transposes outside the kernel (measured ~free on TPU)
+    if out_ref.shape[0] == buf.shape[-1]:
+        out_ref[:, :] = buf.T
+    else:
+        out_ref[:, :] = buf
 
 
 def pltpu_roll(x, shift, axis):
@@ -199,13 +214,25 @@ def _axis_pass(x, fb, level):
             pl.BlockSpec((dense_h, dense_h), lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
         args.append(wd)
-    return pl.pallas_call(
+    # narrow row blocks (br < 128) cannot be a transposed (n, br) output
+    # block (lane dim must be 128-divisible): write straight, transpose
+    # outside the kernel (~free — see docs/PERFORMANCE.md dead-end table)
+    if br >= LANES:
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, r), x.dtype),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((n, br), lambda i: (0, i), memory_space=pltpu.VMEM),
+        )(*args)
+    y = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, r), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((r, n), x.dtype),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((n, br), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((br, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )(*args)
+    return y.T
 
 
 def _pyramid_rows_kernel_nodense(x_ref, wp_ref, wt_ref, out_ref, *, split,
@@ -547,7 +574,10 @@ def _ipyramid_rows_kernel(y_ref, vp_ref, vt_ref, vd_ref, out_ref, *, heads, hd,
             head2 = head2 * jnp.float32(gain)
         buf = jnp.concatenate([head2, buf[:, h:]], axis=-1) \
             if h < buf.shape[-1] else head2
-    out_ref[:, :] = buf.T
+    if out_ref.shape[0] == buf.shape[-1]:
+        out_ref[:, :] = buf.T
+    else:
+        out_ref[:, :] = buf
 
 
 def _inv_axis_pass(y, fb, level):
@@ -567,18 +597,28 @@ def _inv_axis_pass(y, fb, level):
         _ipyramid_rows_kernel, heads=heads, hd=hd,
         gain=float(fb.recon_gain), prec=prec, br=br,
     )
-    return pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((br, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * LANES, 2 * LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hd, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if br >= LANES:
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, r), y.dtype),
+            grid=(r // br,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((n, br), lambda i: (0, i), memory_space=pltpu.VMEM),
+        )(y, vp, vt, vd)
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, r), y.dtype),
+        out_shape=jax.ShapeDtypeStruct((r, n), y.dtype),
         grid=(r // br,),
-        in_specs=[
-            pl.BlockSpec((br, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * LANES, 2 * LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hd, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((n, br), lambda i: (0, i), memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((br, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )(y, vp, vt, vd)
+    return out.T
 
 
 def _xla_reference_inv(y, fb, level_rows, level_cols):
