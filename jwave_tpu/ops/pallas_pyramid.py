@@ -12,11 +12,14 @@ at the 2048^2 L6 bench shape.
 This kernel runs the ENTIRE level pyramid for a block of rows inside
 VMEM:
 
-- grid over row blocks (BR = 256 rows); each program DMAs its (BR, N)
-  block in, runs every level, writes the block out TRANSPOSED — so the
-  second, identical pass transforms the other axis and restores the
-  orientation. 4 HBM passes total = the algorithmic minimum for a
-  separable transform with full-length axes.
+- grid over row blocks (br <= 256 rows, shrunk per width by
+  ``_pick_br2d`` under the probed VMEM/compile envelope); each program
+  DMAs its (br, N) block in, runs every level, and writes the block out
+  TRANSPOSED (br >= 128) — so the second, identical pass transforms the
+  other axis and restores the orientation. 4 HBM passes total = the
+  algorithmic minimum for a separable transform with full-length axes.
+  Narrow blocks (br < 128, widths > 4096 rows) write straight and the
+  caller transposes outside the kernel (~free).
 - levels with head > DENSE_HEAD use the pair-tile matmuls of
   ops.mxu_butterfly (same constants, E <= 3 for every shipped bank);
   the rest collapse into ops.mxu_pyramid's composed dense tail — all as
@@ -26,8 +29,9 @@ VMEM:
   backward pass reuses the battle-tested route.
 
 Eligibility (``pyramid2d_eligible``): TPU backend, f32, both extents
-multiples of 256 and powers of two. Everything else falls back to the
-separable XLA path in transforms.ndim.
+powers of two in [512, MAX_2D_EXTENT] with a row block fitting the VMEM
+envelope. Everything else falls back to the separable XLA path in
+transforms.ndim.
 """
 from __future__ import annotations
 
@@ -53,12 +57,13 @@ BR = 256  # preferred rows per grid program (shrinks for wide blocks)
 _VMEM_2D_BLOCK_BYTES = 2 * 1024 * 1024
 
 #: widest extent the adaptive-br kernel has been validated at on real
-#: hardware (round-5 probe: 4096^2 at br=64 / 1 MB non-transposing blocks
-#: compiles, matches the XLA path to 1e-6, and runs 1.8x faster — 1.85 vs
-#: 3.29 ms; a (128, 4096) 2 MB transposed block crashes the compile
-#: helper, see docs/TPU_BACKEND_NOTES.md). Both extents are bounded
-#: because each becomes the block width in one of the two passes.
-MAX_2D_EXTENT = 4096
+#: hardware (round-5 probes, both with 1 MB non-transposing blocks and
+#: exact vs the XLA path to 1e-6: 4096^2 at br=64 — 1.85 vs 3.29 ms,
+#: 1.8x; 8192^2 at br=32 — 10.6 vs 23.8 ms, 2.2x. A (128, 4096) 2 MB
+#: transposed block crashes the compile helper, see
+#: docs/TPU_BACKEND_NOTES.md). Both extents are bounded because each
+#: becomes the block width in one of the two passes.
+MAX_2D_EXTENT = 8192
 
 
 def _pick_br2d(r: int, n: int) -> int | None:
@@ -603,14 +608,11 @@ def _inv_axis_pass(y, fb, level):
         pl.BlockSpec((2 * LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((hd, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    if br >= LANES:
-        return pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((n, r), y.dtype),
-            grid=(r // br,),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((n, br), lambda i: (0, i), memory_space=pltpu.VMEM),
-        )(y, vp, vt, vd)
+    # ALWAYS write straight and transpose outside: the round-4 opaque
+    # tpu_compile_helper crash was the inverse kernel's transposed store —
+    # the identical kernel with a straight (br, n) store compiles and
+    # round-trips at 1e-6 (round-5 probe). The external XLA transpose is
+    # ~free (docs/PERFORMANCE.md dead-end table).
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((r, n), y.dtype),
@@ -636,8 +638,19 @@ def _xla_reference_inv(y, fb, level_rows, level_cols):
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def ifwt2d_fused(y, wavelet_name: str, level_rows, level_cols):
-    """Inverse of :func:`fwt2d_fused`: two input-transposing inverse
-    pyramid passes (C o C with C = P^-1 after transpose)."""
+    """Inverse of :func:`fwt2d_fused`: two inverse pyramid passes.
+
+    MEASURED DEAD END — correct but NOT ROUTED (round 5). The round-4
+    transposed-store variant crashed the relay's tpu_compile_helper
+    opaquely; the round-5 straight-store + external-transpose variant
+    (this code) compiles and round-trips at 1e-6 on hardware, but loses
+    the A/B at every compilable block size: 0.386 ms (br=64), 0.514 ms
+    (br=128) vs 0.285 ms for the separable XLA synthesis path at 2048^2
+    db4 L6 — the inverse's split per-subband matmuls + tail-roll adds
+    issue ~2x the forward kernel's work per level, and the synthesis
+    direction lacks the forward's shrinking-head locality win. Public
+    ``ifwt2d`` therefore uses the XLA path; this kernel stays as the
+    tested reference formulation and the record of the probe data."""
     from ..filters import get_filter
 
     fb = get_filter(wavelet_name)
@@ -662,35 +675,3 @@ def _inv_bwd(wavelet_name, level_rows, level_cols, shape, g):
 
 
 ifwt2d_fused.defvjp(_inv_fwd, _inv_bwd)
-
-
-def ipyramid2d_eligible(y, fb, level_rows, level_cols) -> bool:
-    """The inverse kernel always folds a dense head: eligible only when
-    both axes' reverse chains start at h0 <= DENSE_HEAD (true for any
-    full-depth or deep decomposition; shallow pyramids on long axes fall
-    back to the XLA path).
-
-    EXPERIMENTAL — off by default. The inverse kernel is correct in
-    interpreter mode (tests) but its hardware compile crashes this
-    relay's tpu_compile_helper (subprocess exit 1, no diagnostic) in a
-    pattern that resisted a full bisect: single-level variants
-    structurally identical to the WORKING forward kernel fail
-    deterministically while adjacent variants pass (see
-    docs/TPU_BACKEND_NOTES.md). Until a toolchain with diagnostics is
-    available, ifwt2d uses the XLA synthesis path; set
-    JWAVE_ENABLE_PALLAS_IFWT2D=1 to opt in.
-    """
-    import os
-
-    if not os.environ.get("JWAVE_ENABLE_PALLAS_IFWT2D"):
-        return False
-    if not pyramid2d_eligible(y) or not _bank_ok(fb, inverse=True):
-        return False
-
-    def ok(n, level):
-        done = _levels_done(n, fb.transform_wavelength,
-                            10**9 if level is None else level)
-        return done > 0 and (n >> (done - 1)) <= DENSE_HEAD
-
-    r, n = y.shape
-    return ok(n, level_cols) and ok(r, level_rows)

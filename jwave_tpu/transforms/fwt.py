@@ -222,17 +222,16 @@ def fwt2d(mat, wavelet, level_rows: int | None = None, level_cols: int | None = 
 
 
 def ifwt2d(coeffs, wavelet, level_rows: int | None = None, level_cols: int | None = None):
-    """Inverse of :func:`fwt2d`: two input-transposing inverse Pallas
-    pyramid passes on eligible TPU shapes, the separable XLA synthesis
-    path otherwise."""
-    from ..ops.pallas_pyramid import ifwt2d_fused, ipyramid2d_eligible
+    """Inverse of :func:`fwt2d` via the separable XLA synthesis path.
+
+    A fused Pallas inverse kernel exists (ops.pallas_pyramid.ifwt2d_fused)
+    but measured SLOWER than this path at every configuration that
+    compiles (round-5 hardware A/B: 0.386-0.514 ms vs 0.285 ms at
+    2048^2 db4 L6), so it is deliberately not routed."""
     from .ndim import reverse_2d
 
     y = ensure_float(jnp.asarray(coeffs))
-    fb = get_filter(wavelet)
     if y.ndim == 2:
         _check_2d_levels(y.shape, level_rows, level_cols, "ifwt2d")
-        if ipyramid2d_eligible(y, fb, level_rows, level_cols):
-            return ifwt2d_fused(y, fb.name, level_rows, level_cols)
     return reverse_2d(lambda v, lvl: ifwt(v, wavelet, lvl), y,
                       level_rows, level_cols)

@@ -538,62 +538,22 @@ def scattering1d(
 
     s2_parts, s2_order = [], []
     if use_mxu:
-        # Order 2, routed per source-rate group (round 5). Two forms:
-        #
-        #  * SHARED-SPECTRUM (paths-dense groups): one fft of the whole
-        #    rate-r1 envelope group; each path then slices the truncated
-        #    low band its psi2 needs and inverse-transforms at the tiny
-        #    rate-R grid. The round-4 taps form re-read the full-rate
-        #    group once per (k2, tile-group) term — an HLO cost audit
-        #    measured ~14 of the row's 24.8 GB there, ~30 passes per
-        #    high-band envelope — while the shared fft pays ~5 passes
-        #    ONCE for all of a band's paths.
-        #  * TAPS (paths-sparse groups, large r1): psi2 as a short
-        #    strided MXU tile conv on the already-decimated grid
-        #    (ops.mxu_bandconv) — no FFT at all.
-        # spectral pays one shared fft(u1 group) plus per-path work on the
-        # TRUNCATED m/S grid — a win only when the truncation is strong;
-        # at small S its full-length stacked iFFTs dominate (probed: an
-        # all-spectral order 2 regressed 20 -> 39 GB because the R<=4
-        # paths ran two full-rate c64 FFTs over 32 stacked rows)
-        _SPECTRAL_MIN_S = 8
-        _v1g_cache: dict[int, jnp.ndarray] = {}
-
-        def v1_group(r1):
-            if r1 not in _v1g_cache:
-                k1_any = next(k for k in range(len(r1_of)) if r1_of[k] == r1)
-                _v1g_cache[r1] = _fft(u1_store[k1_any][0].astype(cdtype))
-            return _v1g_cache[r1]
-
+        # order 2 without ANY further FFT rounds: each path's psi2 is an
+        # octave-wide Gaussian = a short impulse response on the k1
+        # band's rate-r1 grid, so u2 = |u1 (*) psi2|[::R/r1] is a strided
+        # MXU tile conv (ops.mxu_bandconv), and S2 its phi conv.
+        # Routing note (round-5 hardware A/B, do not retry): replacing the
+        # taps form with a shared fft(u1 group) + per-path truncated small
+        # iFFTs measured WORSE both ways — all-spectral 36.7 ms / 38.8 GB
+        # (the untruncatable R<=4 paths ran full-rate stacked c64 FFTs)
+        # and a hybrid (spectral only when R/r1 >= 8) 20.3 ms / 25.4 GB vs
+        # the all-taps 19.4 ms / 20.4 GB. The taps form stays.
         by_r1: dict[int, list[int]] = {}
         for p in range(len(bank.paths)):
             by_r1.setdefault(int(r1_of[int(bank.paths[p, 0])]), []).append(p)
         for r1, plist_all in sorted(by_r1.items()):
-            spec_ps = [p for p in plist_all
-                       if int(r_path[p]) // r1 >= _SPECTRAL_MIN_S]
-            taps_ps = [p for p in plist_all
-                       if int(r_path[p]) // r1 < _SPECTRAL_MIN_S]
-            by_R: dict[int, list[int]] = {}
-            for p in spec_ps:
-                by_R.setdefault(int(r_path[p]), []).append(p)
-            for R, plist in sorted(by_R.items()):
-                S = R // r1
-                fR = grid_freqs(R)
-                V1g = v1_group(r1)
-                # static row slices + truncate-before-stack: no gather
-                # HLO, and only the kept m/S bins are materialized
-                Vp = jnp.stack(
-                    [truncate(V1g[..., u1_store[int(bank.paths[p, 0])][1], :], S)
-                     for p in plist], axis=-2)
-                psi2_R = jnp.asarray(np.stack([
-                    _gauss_bump(fR, bank.xi2[int(bank.paths[p, 1])],
-                                sig2[int(bank.paths[p, 1])])
-                    for p in plist]), cdtype)
-                u2 = ifft_mag(Vp * psi2_R)
-                s2_parts.append(phi_lowpass(u2, R))
-                s2_order.extend(plist)
             by_k2: dict[int, list[int]] = {}
-            for p in taps_ps:
+            for p in plist_all:
                 by_k2.setdefault(int(bank.paths[p, 1]), []).append(p)
             for k2, plist in sorted(by_k2.items()):
                 R = int(r_path[plist[0]])
