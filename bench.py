@@ -444,7 +444,10 @@ def main():
             wlen, lvl, step, streams = 512, 8, 64, 8
             sl_sig = jnp.asarray(rng.standard_normal((streams, wlen)), dtype=jnp.float32)
             st0 = jax.device_put(sliding_modwt_init(sl_sig, "db4", lvl))
-            kk = 1024  # shorter chains leave the ~2 us update under the ~1 ms jitter/kk floor
+            # 4096: at ~2 us/update the chain must run >= ~8 ms on device
+            # to clear the relay jitter floor (kk = 1024 runs recorded
+            # negative raw deltas -> floored rows in round 5's first runs)
+            kk = 4096
             chunks = jax.device_put(
                 jnp.asarray(rng.standard_normal((kk, streams, step)), dtype=jnp.float32))
 
@@ -469,7 +472,7 @@ def main():
             # (k=512: the tiny transform also needs a long chain to clear
             # the jitter floor)
             raw_rec = bench_op(lambda a: jw.modwt(a, "db4", lvl).sum(axis=-2),
-                               sl_sig, k=512, reps=6)
+                               sl_sig, k=4096, reps=6)
             dt_rec = max(raw_rec, 2e-6)
             sl_row = {
                 "us_per_update": round(dt_inc * 1e6, 2),

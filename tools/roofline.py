@@ -202,12 +202,15 @@ def wpt_mxu_model():
 
 
 def scattering1d_model():
-    # round-4 formulation (transforms/scattering.py + ops/mxu_bandconv.py):
-    # the only FFT work left is one forward fft of the padded signal plus
-    # TWO real-input ffts per order-1 band group (the ifft_mag identity);
-    # order 2 and every lowpass are strided tile convs / composed matmuls
-    # on the MXU, converted to FFT-engine-equivalent time for the
-    # single-engine SoL (at 32.8 T they are a small minority of the row).
+    # round-5 formulation (transforms/scattering.py + ops/mxu_bandconv.py):
+    # order-1 bands with decimation r <= 8 are strided complex tap convs
+    # of the signal itself (NO FFT — Gaussian bumps are ~100*r taps in
+    # time); bands with r > 8 fold psi1's support window onto the short
+    # padded/r grid and pay two real-input ffts there (ifft_mag). The
+    # only full-length FFT is the one forward fft of the padded signal
+    # (needed by the windowed bands). Order 2 and every lowpass stay
+    # strided tile convs / composed matmuls on the MXU, converted to
+    # FFT-engine-equivalent time for the single-engine SoL.
     import numpy as np
     from jwave_tpu.transforms.scattering import (
         MAX_LOWPASS_M, _sigma_for, scattering_filter_bank)
@@ -241,15 +244,26 @@ def scattering1d_model():
         f[i > m // 2] -= 1.0
         return f / r
 
-    fft_units = 1.0  # X = fft(xp)
+    fft_units = 1.0  # X = fft(xp), consumed by the windowed (r > 8) bands
     mxu = 0.0        # MXU FLOPs (convs + composed lowpass matmuls)
     bytes_ = F32 * b * n  # read x
     frames = -(-n // stride)
     sigma_phi = 0.35 * 2.0 ** (-float(J)) / np.sqrt(2 * np.log(2.0))
+    TAPS_MAX_STRIDE = 8  # transforms/scattering.py::_TAPS_MAX_STRIDE
     for r in sorted(set(r1.tolist())):
         kg = int((r1 == r).sum())
         m = padded // r
-        fft_units += kg * 2.0 / r  # ifft_mag: two real-input ffts per band
+        if r <= TAPS_MAX_STRIDE:
+            # strided complex tap conv of xp per band: out m/r lanes x
+            # G x (S*128) window x 2 (re+im banks), FMA = 2
+            for k in np.nonzero(r1 == r)[0]:
+                psi1 = bank.psi1_hat[k]
+                T = len(conv_taps(psi1)[0])
+                E = -(-(r * 127 + T) // 128)
+                G = -(-E // r)
+                mxu += b * m * 128 * G * 2 * 2
+        else:
+            fft_units += kg * 2.0 / r  # ifft_mag on the windowed fold
         bytes_ += F32 * b * kg * m * 2  # u1 write + read (order 2 reuse)
         if m <= MAX_LOWPASS_M:
             mxu += b * kg * m * frames * 2  # composed lowpass matmul
@@ -289,12 +303,15 @@ def scattering1d_model():
     out_bands = 1 + len(bank.xi1) + len(bank.paths)
     bytes_ += F32 * b * out_bands * frames
     f = _cfft_flops(padded)
-    mults = len(bank.xi1) * padded * 6  # X * psi1 spectral multiplies
+    # spectral window multiplies: only the r > 8 bands touch X, on their
+    # ~0.8*xi*padded-bin support windows (<< padded each)
+    mults = sum(int(0.8 * bank.xi1[k] * padded) * 6 * b
+                for k in range(len(bank.xi1)) if r1[k] > TAPS_MAX_STRIDE)
     return {
         "flops": b * fft_units * f + mults + mxu * (FFT_EFF / MXU_F32_HIGHEST),
         "bytes": bytes_,
         "engine": "fft",
-        "note": f"{fft_units:.0f} FFT units (1 fwd + 2/r per band; was ~200 eq pre-r4) + MXU tap convs",
+        "note": f"{fft_units:.0f} FFT units (1 fwd + windowed r>8 bands only; r<=8 bands are pure MXU tap convs) ",
     }
 
 
@@ -420,25 +437,27 @@ def cwt_model():
 
 
 # measured per-application times (ms), python bench.py on the v5e (f32,
-# conv precision HIGHEST) — round 3, 2026-08-19
+# conv precision HIGHEST) — round 5, 2026-08-20: MEAN of the two full
+# driver-style runs that day (run-to-run relay spread 10-25%; the raw
+# per-run values are in docs/PERFORMANCE.md's source-artifact note)
 MEASURED_MS = {
-    "modwt_db4_L5 (MXU tiles)": (0.531, modwt_mxu_model),
-    "modwt_db4_L5 (Pallas cascade)": (2.030, modwt_pallas_model),
-    "modwt_db4_L5 (telescoped FFT)": (3.756, modwt_fft_model),
-    "fwt1d_db4_L8 (conv)": (1.355, fwt1d_model),
-    "fwt1d_db4_L8 (MXU tiles)": (0.298, fwt1d_mxu_model),
-    "fwt2d_db4_L6_2048 (Pallas fused)": (0.382, fwt2d_pallas_model),
-    "fwt2d_db4_L6_2048 (XLA separable)": (0.424, fwt2d_model),
-    "fwt3d_db4_L4_256": (1.117, fwt3d_model),
-    "wpt_db4_L6 (fused conv)": (1.202, wpt_model),
-    "wpt_db4_L6 (MXU tiles)": (0.285, wpt_mxu_model),
-    "cwt_morlet_64scales_1M": (13.37, cwt_model),
-    "scattering1d_J8_Q8_8x64K": (32.98, scattering1d_model),
-    "scattering2d_J3_L8_256": (6.46, scattering2d_model),
-    "wvd_512bins_8x4K": (1.167, wvd_model),
-    "superlet_64f_o16_8x16K": (6.85, superlet_model),
-    "dtcwt1d_L6_8x64K": (0.074, dtcwt1d_model),  # k=512 chain; earlier k<=16 readings were below the relay timer floor
-    "denoise_modwt_8x64K": (0.135, denoise_modwt_model),
+    "modwt_db4_L5 (MXU tiles)": (0.486, modwt_mxu_model),
+    "modwt_db4_L5 (Pallas cascade)": (1.978, modwt_pallas_model),
+    "modwt_db4_L5 (telescoped FFT)": (3.676, modwt_fft_model),
+    "fwt1d_db4_L8 (conv)": (1.355, fwt1d_model),  # round-4 sweep (unchanged path)
+    "fwt1d_db4_L8 (MXU tiles)": (0.245, fwt1d_mxu_model),
+    "fwt2d_db4_L6_2048 (Pallas fused)": (0.396, fwt2d_pallas_model),
+    "fwt2d_db4_L6_2048 (XLA separable)": (0.497, fwt2d_model),
+    "fwt3d_db4_L4_256": (0.967, fwt3d_model),
+    "wpt_db4_L6 (fused conv)": (1.202, wpt_model),  # round-4 sweep (unchanged path)
+    "wpt_db4_L6 (MXU tiles)": (0.305, wpt_mxu_model),
+    "cwt_morlet_64scales_1M": (13.20, cwt_model),
+    "scattering1d_J8_Q8_8x64K": (18.11, scattering1d_model),
+    "scattering2d_J3_L8_256": (7.35, scattering2d_model),
+    "wvd_512bins_8x4K": (0.614, wvd_model),
+    "superlet_64f_o16_8x16K": (6.71, superlet_model),
+    "dtcwt1d_L6_8x64K": (0.048, dtcwt1d_model),  # k=256 chain; k<=16 readings were below the relay timer floor
+    "denoise_modwt_8x64K": (0.154, denoise_modwt_model),
 }
 
 BENCH_KEY_MAP = {
