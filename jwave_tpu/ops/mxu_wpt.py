@@ -105,9 +105,14 @@ def wpt_fused_forward_mxu(x, dec_lo, dec_hi, levels: int, precision=None,
     lead = x.shape[:-1]
     bank = _bank_for(dec_lo, dec_hi, levels, n)
     x3 = x.reshape((-1, t, LANES))
+    ecnt = bank.shape[0]
+    # wrap-extend ONCE + static slices instead of a materialized jnp.roll
+    # copy per e term (round 5: the E~5 roll copies were ~40% of the
+    # row's HBM movement; a contiguous slice fuses into the dot read)
+    ext = jnp.concatenate([x3, x3[:, : ecnt - 1]], axis=1) if ecnt > 1 else x3
     acc = None
-    for e in range(bank.shape[0]):
-        src = (jnp.roll(x3, -e, axis=1) if e else x3).reshape(-1, LANES)
+    for e in range(ecnt):
+        src = (ext[:, e : e + t] if e else x3).reshape(-1, LANES)
         term = _dot(src, jnp.asarray(bank[e], x.dtype), precision)
         acc = term if acc is None else acc + term
     if interleaved:
@@ -136,13 +141,17 @@ def wpt_fused_inverse_mxu(y, rec_lo, rec_hi, levels: int, recon_gain: float = 1.
         blocks = y.reshape((-1, s_cnt, t, p_cnt))
         z = jnp.moveaxis(blocks, 1, -1).reshape(-1, t, LANES)  # cols p*S+s...
     # moveaxis gives (B, T, P, S) -> flatten (P, S) to 128 cols = p*S + s
+    # adjoint of the forward's window: out tile j = sum_e z[(j-e) mod t]
+    # @ W_e^T — one LEFT wrap-extension + static slices replaces the
+    # per-e output roll copies (same traffic fix as the forward)
+    ecnt = bank.shape[0]
+    zext = jnp.concatenate([z[:, t - (ecnt - 1):], z], axis=1) if ecnt > 1 else z
     acc = None
-    for e in range(bank.shape[0]):
-        term = _dot(z.reshape(-1, LANES), jnp.asarray(bank[e].T, y.dtype), precision)
-        term = term.astype(y.dtype).reshape(-1, t, LANES)
-        term = jnp.roll(term, e, axis=1) if e else term
+    for e in range(ecnt):
+        src = (zext[:, ecnt - 1 - e : ecnt - 1 - e + t] if e else z).reshape(-1, LANES)
+        term = _dot(src, jnp.asarray(bank[e].T, y.dtype), precision)
         acc = term if acc is None else acc + term
-    res = acc.reshape(lead + (n,))
+    res = acc.astype(y.dtype).reshape(lead + (n,))
     gain = recon_gain ** levels
     if gain != 1.0:
         res = res * jnp.asarray(gain, res.dtype)

@@ -560,8 +560,19 @@ def scattering1d(
                 S = R // r1
                 psi2_np = _gauss_bump(grid_freqs(r1), bank.xi2[k2], sig2[k2])
                 rows = [u1_store[int(bank.paths[p, 0])] for p in plist]
-                u_stack = jnp.stack(
-                    [g[..., i, :] for (g, i, _) in rows], axis=-2)
+                locs = [i for (_, i, _) in rows]
+                g0 = rows[0][0]
+                if locs == list(range(locs[0], locs[0] + len(locs))):
+                    # paths of a (r1, k2) group are k1-contiguous (xi1 is
+                    # a descending grid, so "xi2 < xi1" selects a prefix
+                    # of the rate group): a zero-copy slice of the group
+                    # tensor instead of a materialized jnp.stack — the
+                    # stacks were a full extra HBM pass per k2 over the
+                    # near-full-rate envelope groups
+                    u_stack = g0[..., locs[0]:locs[0] + len(locs), :]
+                else:  # defensive: non-contiguous selection
+                    u_stack = jnp.stack(
+                        [g[..., i, :] for (g, i, _) in rows], axis=-2)
                 out = _bandconv.strided_band_conv(u_stack, psi2_np, S)
                 if out is not None:
                     u2 = jnp.sqrt(out[0] ** 2 + out[1] ** 2)
