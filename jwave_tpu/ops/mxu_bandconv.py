@@ -141,6 +141,9 @@ def _lane_conv(v, banks_list, S: int, precision):
     tiles = m // LANES
     nb = len(banks_list)
     v4 = v.reshape((-1, tiles // S, S * LANES))  # tile groups of S
+    # hardware A/B (scat1d row): ext+static-slice 16.6 ms / 16.9 GB vs
+    # per-g jnp.roll 17.9 ms / 18.6 GB — the slice windows win (XLA
+    # pattern-matches some of them into convolutions, which measure fine)
     ext = jnp.concatenate([v4, v4[:, : G - 1]], axis=1) if G > 1 else v4
     acc = None
     for g in range(G):
@@ -200,29 +203,38 @@ def strided_band_conv(u, filter_hat: np.ndarray, S: int, eps: float = 1e-7):
     m = u.shape[-1]
     taps, t0 = conv_taps(filter_hat, eps)
     T = len(taps)
-    form = plan(m, S, T)
+    # circular convolution y[o] = sum_j u[oS - j] h[j], h supported on
+    # [t0, t0+T) == correlation y[o] = sum_tau u[oS + tau - s] w[tau]
+    # with w = reversed taps and s = t0 + T - 1. Instead of delaying the
+    # FULL-RATE input by s (a materialized roll — an HLO audit measured
+    # ~1.5 GB of full-group pad traffic from these in scattering1d),
+    # pad w with delta leading zeros so the delay becomes d whole
+    # strides, run plain windows on the unrolled input, and circularly
+    # roll the SMALL (m/S) output by d.
+    s = t0 + T - 1
+    d, rem = divmod(s, S)
+    delta = 0 if rem == 0 else S - rem
+    d += 1 if rem else 0
+    w = np.concatenate([np.zeros(delta, dtype=np.complex128), taps[::-1]])
+    Tp = T + delta
+    form = plan(m, S, Tp)
     if form is None:
         return None
     prec = config.conv_precision()
-    # circular convolution y[fS] = sum_j u[fS - j] h[j], h supported on
-    # [t0, t0+T): reindex to the kernels' correlation form
-    # sum_tau v[fS + tau] w[tau] with w = taps reversed and
-    # v = u delayed by t0 + T - 1
-    v = jnp.roll(u, t0 + T - 1, axis=-1)
-    w = taps[::-1]
     real_only = np.abs(w.imag).max() < 1e-12 * np.abs(w.real).max()
     if form == "lane":
-        m_ = v.shape[-1]
         key = lambda t: np.ascontiguousarray(t, dtype=np.float64).tobytes()
-        banks = [_lane_banks(key(w.real), T, S, m_)]
+        banks = [_lane_banks(key(w.real), Tp, S, m)]
         if not real_only:
-            banks.append(_lane_banks(key(w.imag), T, S, m_))
-        outs = _lane_conv(v, banks, S, prec)
+            banks.append(_lane_banks(key(w.imag), Tp, S, m))
+        outs = [jnp.roll(o, d, axis=-1) for o in _lane_conv(u, banks, S, prec)]
         if real_only:
             return outs[0], jnp.zeros_like(outs[0])
         return outs[0], outs[1]
-    yr = _block_conv_real(v, np.ascontiguousarray(w.real), S, prec)
+    yr = jnp.roll(_block_conv_real(u, np.ascontiguousarray(w.real), S, prec),
+                  d, axis=-1)
     if real_only:
         return yr, jnp.zeros_like(yr)  # real filter (e.g. the phi lowpass)
-    yi = _block_conv_real(v, np.ascontiguousarray(w.imag), S, prec)
+    yi = jnp.roll(_block_conv_real(u, np.ascontiguousarray(w.imag), S, prec),
+                  d, axis=-1)
     return yr, yi
