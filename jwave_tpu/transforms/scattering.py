@@ -551,41 +551,82 @@ def scattering1d(
         by_r1: dict[int, list[int]] = {}
         for p in range(len(bank.paths)):
             by_r1.setdefault(int(r1_of[int(bank.paths[p, 0])]), []).append(p)
+        # Multirate cascade (round 5, second pass): convolving every path
+        # at its SOURCE rate made order-2 work scale as 4*T*m per
+        # path-row regardless of output decimation (a DCE-bisect measured
+        # ~1.6 ms per k2 across ALL k2). The envelope group is therefore
+        # anti-alias HALVED between path batches — a ~33-tap Gaussian AA
+        # conv whose response is divided out of every later psi2 bank
+        # exactly — so each path convolves on the coarsest grid its band
+        # allows (stride <= 2 there). Per stage the AA is sized so the
+        # fold leaking into any remaining passband is < 2e-9
+        # (sigma = F_new/4.5 with descent gated on cut2 <= F_new/2).
+        def conv_k2(u_src, Q, sum_inv2, k2, plist):
+            """psi2 conv of the (cascaded, rate-Q) group slice for one
+            k2; appends the S2 rows. ``sum_inv2`` is the accumulated
+            Gaussian-AA response exp(-f^2 * sum_inv2) to divide out."""
+            R = int(r_path[plist[0]])
+            S = max(R // Q, 1)
+            fQ = grid_freqs(Q)
+            psi2_np = _gauss_bump(fQ, bank.xi2[k2], sig2[k2])
+            if sum_inv2:
+                keep = np.abs(psi2_np) > 1e-12 * np.abs(psi2_np).max()
+                comp = np.exp(np.where(keep, fQ * fQ * sum_inv2, 0.0))
+                psi2_np = np.where(keep, psi2_np * comp, 0.0)
+            locs = [u1_store[int(bank.paths[p, 0])][1] for p in plist]
+            if locs == list(range(locs[0], locs[0] + len(locs))):
+                # a (r1, k2) group is k1-contiguous (xi1 descending, so
+                # "xi2 < xi1" selects a prefix): zero-copy slice
+                u_stack = u_src[..., locs[0]:locs[0] + len(locs), :]
+            else:  # defensive: non-contiguous selection
+                u_stack = jnp.stack([u_src[..., i, :] for i in locs], axis=-2)
+            out = _bandconv.strided_band_conv(u_stack, psi2_np, S)
+            if out is not None:
+                u2 = jnp.sqrt(out[0] ** 2 + out[1] ** 2)
+            else:  # shape outside the tile forms' plan: spectral fallback
+                fR = grid_freqs(R)
+                r1_src = u1_store[int(bank.paths[plist[0], 0])][2]
+                Vp = jnp.stack(
+                    [truncate(v1_row(int(bank.paths[p, 0]))[0], R // r1_src)
+                     for p in plist], axis=-2)
+                psi2_R = jnp.asarray(
+                    _gauss_bump(fR, bank.xi2[k2], sig2[k2]), cdtype)
+                u2 = ifft_mag(Vp * psi2_R)
+            s2_parts.append(phi_lowpass(u2, R))
+            s2_order.extend(plist)
+
         for r1, plist_all in sorted(by_r1.items()):
             by_k2: dict[int, list[int]] = {}
             for p in plist_all:
                 by_k2.setdefault(int(bank.paths[p, 1]), []).append(p)
-            for k2, plist in sorted(by_k2.items()):
-                R = int(r_path[plist[0]])
-                S = R // r1
-                psi2_np = _gauss_bump(grid_freqs(r1), bank.xi2[k2], sig2[k2])
-                rows = [u1_store[int(bank.paths[p, 0])] for p in plist]
-                locs = [i for (_, i, _) in rows]
-                g0 = rows[0][0]
-                if locs == list(range(locs[0], locs[0] + len(locs))):
-                    # paths of a (r1, k2) group are k1-contiguous (xi1 is
-                    # a descending grid, so "xi2 < xi1" selects a prefix
-                    # of the rate group): a zero-copy slice of the group
-                    # tensor instead of a materialized jnp.stack — the
-                    # stacks were a full extra HBM pass per k2 over the
-                    # near-full-rate envelope groups
-                    u_stack = g0[..., locs[0]:locs[0] + len(locs), :]
-                else:  # defensive: non-contiguous selection
-                    u_stack = jnp.stack(
-                        [g[..., i, :] for (g, i, _) in rows], axis=-2)
-                out = _bandconv.strided_band_conv(u_stack, psi2_np, S)
-                if out is not None:
-                    u2 = jnp.sqrt(out[0] ** 2 + out[1] ** 2)
-                else:  # shape outside the tile forms' plan: spectral fallback
-                    fR = grid_freqs(R)
-                    Vp = jnp.stack(
-                        [truncate(v1_row(int(bank.paths[p, 0]))[0], S) for p in plist],
-                        axis=-2,
-                    )
-                    psi2_R = jnp.asarray(_gauss_bump(fR, bank.xi2[k2], sig2[k2]), cdtype)
-                    u2 = ifft_mag(Vp * psi2_R)
-                s2_parts.append(phi_lowpass(u2, R))
-                s2_order.extend(plist)
+            # pending k2, highest cut2 first — they exit the cascade first
+            pending = sorted(by_k2.items(), key=lambda kv: -cut2[kv[0]])
+            cur = u1_store[int(bank.paths[plist_all[0], 0])][0]
+            Q = r1
+            sum_inv2 = 0.0
+            while pending:
+                f_next = 1.0 / (4.0 * Q)  # Nyquist of the NEXT halving
+                # a path must exit at or above its OUTPUT rate R (with
+                # oversampling R can sit below the tail-budget rate —
+                # its conv then runs at rate Q == R, stride 1)
+                due = [kv for kv in pending
+                       if cut2[kv[0]] > f_next / 2.0
+                       or int(r_path[kv[1][0]]) <= Q]
+                pending = [kv for kv in pending if kv not in due]
+                for k2, plist in due:
+                    conv_k2(cur, Q, sum_inv2, k2, plist)
+                if not pending:
+                    break
+                sigma = f_next / 4.5  # absolute cycles/sample
+                aa = np.exp(-(grid_freqs(Q) ** 2) / (2.0 * sigma * sigma))
+                dec = _bandconv.strided_band_conv(cur, aa, 2)
+                if dec is None:  # tiny grids: finish at the current rate
+                    for k2, plist in pending:
+                        conv_k2(cur, Q, sum_inv2, k2, plist)
+                    break
+                cur = dec[0]
+                sum_inv2 += 1.0 / (2.0 * sigma * sigma)
+                Q *= 2
     else:
         for R in sorted(set(r_path.tolist())):
             pidx = np.nonzero(r_path == R)[0]
