@@ -273,33 +273,49 @@ def scattering1d_model():
             S = stride // r
             D = -(-T // S) + 1
             mxu += b * kg * m * (-(-D // 128) * 128) * 2
+    # order 2 via the round-5 multirate cascade (transforms/scattering.py):
+    # the group AA-halves between path batches; each path convolves at the
+    # coarsest rate its band allows (stride <= 2 there)
     from collections import defaultdict
-    groups = defaultdict(list)
+    by_r1m = defaultdict(lambda: defaultdict(list))
     for p, (k1, k2) in enumerate(bank.paths):
-        groups[(int(r1[k1]), int(k2))].append(p)
-    for (r, k2), plist in groups.items():
-        m = padded // r
-        R = int(rp[plist[0]])
-        S = R // r
-        psi2 = np.exp(-((gf(r) - bank.xi2[k2]) ** 2) / (2 * sig2[k2] ** 2))
-        T = len(conv_taps(psi2)[0])
-        form = plan(m, S, T)
-        rows_ = b * len(plist)
-        if form == "lane":
-            E = -(-(S * 127 + T) // 128)
-            G = -(-E // S)
-            mxu += rows_ * m * 128 * G * 2 * 2  # complex taps: 2 components
-        elif form == "block":
-            D = -(-T // S) + 1
-            mxu += rows_ * m * (-(-D // 128) * 128) * 2 * 2
-        else:
-            fft_units += len(plist) * 3.0 / R  # spectral fallback
-        mr = m // S
-        bytes_ += F32 * rows_ * (m + 2 * mr)  # u_stack + u2 parts
-        if mr <= MAX_LOWPASS_M:
-            mxu += rows_ * mr * frames * 2
-        else:
-            mxu += rows_ * mr * 128 * 2
+        by_r1m[int(r1[k1])][int(k2)].append(p)
+    for r, k2map in by_r1m.items():
+        kg = int((r1 == r).sum())
+        pending = sorted(k2map.items(), key=lambda kv: -cut2[kv[0]])
+        Q = r
+        while pending:
+            f_next = 1.0 / (4.0 * Q)
+            due = [kv for kv in pending
+                   if cut2[kv[0]] > f_next / 2.0 or int(rp[kv[1][0]]) <= Q]
+            pending = [kv for kv in pending if kv not in due]
+            m = padded // Q
+            for k2, plist in due:
+                R = int(rp[plist[0]])
+                S = max(R // Q, 1)
+                psi2 = np.exp(-((gf(Q) - bank.xi2[k2]) ** 2) / (2 * sig2[k2] ** 2))
+                T = len(conv_taps(psi2)[0])
+                form = plan(m, S, T)
+                rows_ = b * len(plist)
+                if form == "lane":
+                    E = -(-(S * 127 + T) // 128)
+                    G = -(-E // S)
+                    mxu += rows_ * m * 128 * G * 2 * 2  # complex: 2 parts
+                elif form == "block":
+                    D = -(-T // S) + 1
+                    mxu += rows_ * m * (-(-D // 128) * 128) * 2 * 2
+                else:
+                    fft_units += len(plist) * 3.0 / R  # spectral fallback
+                mr = m // S
+                bytes_ += F32 * rows_ * (m + 2 * mr)  # group read + u2
+                if mr <= MAX_LOWPASS_M:
+                    mxu += rows_ * mr * frames * 2
+                else:
+                    mxu += rows_ * mr * 128 * 2
+            if pending:  # AA halving of the whole group (33-tap lane conv)
+                mxu += b * kg * m * 128 * 2 * 2
+                bytes_ += F32 * b * kg * (m + m // 2)
+                Q *= 2
     out_bands = 1 + len(bank.xi1) + len(bank.paths)
     bytes_ += F32 * b * out_bands * frames
     f = _cfft_flops(padded)
@@ -452,7 +468,7 @@ MEASURED_MS = {
     "wpt_db4_L6 (fused conv)": (1.202, wpt_model),  # round-4 sweep (unchanged path)
     "wpt_db4_L6 (MXU tiles)": (0.305, wpt_mxu_model),
     "cwt_morlet_64scales_1M": (13.20, cwt_model),
-    "scattering1d_J8_Q8_8x64K": (18.11, scattering1d_model),
+    "scattering1d_J8_Q8_8x64K": (12.68, scattering1d_model),  # post-cascade (12.31 probe / 13.06 bench)
     "scattering2d_J3_L8_256": (7.35, scattering2d_model),
     "wvd_512bins_8x4K": (0.614, wvd_model),
     "superlet_64f_o16_8x16K": (6.71, superlet_model),
