@@ -538,6 +538,10 @@ def main():
 
     # MODWT variant rows (lowest priority — the headline already covers the
     # default path; these document the option space)
+    # refresh the dispatch estimate first: it was measured minutes ago and
+    # relay drift inflates late heavy rows (a 0.10 ms bf16 row once read
+    # 0.20 at end-of-budget with the stale value)
+    _DISPATCH[0] = None
     if dev.platform != "cpu":
         row("modwt_db4_L5_pallas",
             lambda a: jw.modwt(a, "Daubechies 4", 5, method=jw.ConvolutionMethod.PALLAS).sum(axis=-2),
