@@ -99,7 +99,13 @@ def bench_op(fn, x, k=128, reps=3, heavy=False):
     run_k = _chained(fn, k)
     float(run_1(x))  # compile
     float(run_k(x))
-    t1 = min(_once(run_1, x) for _ in range(reps))
+    # the first two-compile call also calibrates _DISPATCH for every later
+    # heavy row; measure its k=1 baseline with extra reps — the relay's
+    # jitter has been observed as bad as ~8 ms, and a dispatch estimate
+    # off by that much corrupts every heavy row's subtraction (a k=1 rep
+    # costs only ~40 ms, so 8 reps are cheap insurance)
+    r1 = max(reps, 8) if _DISPATCH[0] is None else reps
+    t1 = min(_once(run_1, x) for _ in range(r1))
     tk = min(_once(run_k, x) for _ in range(reps))
     dt = max((tk - t1) / (k - 1), 1e-9)
     if _DISPATCH[0] is None:
@@ -398,14 +404,14 @@ def main():
         r = jw.scattering1d(a, J=8, Q=8)
         return jnp.sum(r.S0) + jnp.sum(r.S1) + jnp.sum(r.S2)
 
-    row("scattering1d_J8_Q8_8x64K", scat1d, xs8_64k, k=4, est=100, heavy=True,
+    row("scattering1d_J8_Q8_8x64K", scat1d, xs8_64k, k=8, est=100, heavy=True,
         throughput=("Msamples_per_s", 8 * 65536))
 
     def scat2d(m):
         r = jw.scattering2d(m, J=3, L=8)
         return jnp.sum(r.S0) + jnp.sum(r.S1) + jnp.sum(r.S2)
 
-    row("scattering2d_J3_L8_256", scat2d, img256, k=4, est=60, heavy=True,
+    row("scattering2d_J3_L8_256", scat2d, img256, k=8, est=60, heavy=True,
         throughput=("Mpix_per_s", 256 * 256))
     # sub-0.1 ms rows need K >= 256 to clear the relay's ~1 ms timing
     # jitter (round-4 harness note, docs/PERFORMANCE.md)
@@ -519,7 +525,7 @@ def main():
         details["ewt_5modes_8x16K"] = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
     xv = jax.device_put(jnp.asarray(rng.standard_normal(2048), dtype=jnp.float32))
     row("vmd_K3_2048_300it", lambda a: jnp.sum(jw.vmd(a, 3).modes, axis=0), xv,
-        k=4, est=30, heavy=True)
+        k=8, est=30, heavy=True)
 
     # synchrosqueezed CWT (superset; CWT + derivative bank + dense reassign)
     xs8 = jax.device_put(jnp.asarray(rng.standard_normal((8, n)), dtype=jnp.float32))
