@@ -167,6 +167,25 @@ class TestConsumers:
             scale = max(np.max(np.abs(b)), 1e-30)
             assert np.max(np.abs(a - b)) < 1e-6 * scale, name
 
+    def test_scattering1d_cascade_q2_gt1_fast(self, rng):
+        """The round-5 multirate order-2 cascade with several second-order
+        filters per octave (Q2 > 1 exercises multiple k2 exiting at the
+        same cascade stage with distinct compensated banks)."""
+        import jwave_tpu as jw
+
+        x = jnp.asarray(rng.standard_normal((2, 512)))
+        r_new = jw.scattering1d(x, J=4, Q=2, Q2=2)
+        config.set_mxu_dft("off")
+        try:
+            r_old = jw.scattering1d(x, J=4, Q=2, Q2=2)
+        finally:
+            config.set_mxu_dft("auto")
+        for name in ("S0", "S1", "S2"):
+            a = np.asarray(getattr(r_new, name))
+            b = np.asarray(getattr(r_old, name))
+            scale = max(np.max(np.abs(b)), 1e-30)
+            assert np.max(np.abs(a - b)) < 1e-6 * scale, name
+
     def test_ifft_mag_two_real_reversal_formula(self, rng):
         """The two-real-FFT |ifft| form's index reversal (roll of the
         flip), exercised directly on CPU — the production call site is
