@@ -569,9 +569,12 @@ def main():
             # verdict item 4): the public fwt2d at the bf16 MXU dial
             _cfg.set_conv_precision("default")
             try:
+                # k=256: a ~0.1 ms heavy row at k=64 inherits +-(dispatch
+                # error)/64 ~ +-80 us — the whole 0.095-0.20 spread this
+                # row showed across round-5 runs; 256 cuts that 4x
                 row("fwt2d_db4_L6_2048_bf16dial",
                     lambda m: jw.fwt2d(m, "Daubechies 4", 6, 6),
-                    img, k=64, heavy=True,
+                    img, k=256, heavy=True,
                     throughput=("Mpix_per_s", 2048 * 2048))
             finally:
                 _cfg.set_conv_precision("highest")
